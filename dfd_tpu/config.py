@@ -1,0 +1,56 @@
+"""Typed training configuration.
+
+One dataclass seeds every topology (sequential, vectorized single-chip,
+mesh-sharded multi-host, elastic server/client) and is recorded in
+checkpoints — replacing the reference's three ad-hoc config surfaces
+(constructor kwargs, protobuf-Struct wire config, wandb sweep dicts;
+reference run_server.py:20-47, networking/server.py:106-112).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class OmegaConfig:
+    default_value: float = 0.0
+    improvement_threshold: float = 1.035
+    reward_history_size: int = 20
+    min_value: float = 0.0
+    max_value: float = 1.0
+    steps_to_min: int = 25
+    steps_to_max: int = 75
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    env_id: str = "SimpleTrapEnv-v0"
+    learning_rate: float = 0.01
+    noise_std: float = 0.02
+    batch_size: int = 40                 # perturbations per update (population)
+    envs_per_perturbation: int = 1       # episodes averaged per member
+    ent_coef: float = 0.0
+    random_seed: int = 123
+    max_delayed_return: int = 10
+    vbn_buffer_size: int = 0
+    zeta_size: int = 200
+    max_strategy_history_size: int = 200
+    eval_prob: float = 0.05              # sequential/elastic topologies
+    eval_every: int = 1                  # vectorized topology: eval cadence (epochs)
+    normalize_obs: bool = False
+    obs_stats_update_chance: float = 0.01
+    episode_length: Optional[int] = None  # scan horizon; None -> env default
+    timestep_limit: int = 50_000_000
+    omega: OmegaConfig = dataclasses.field(default_factory=OmegaConfig)
+    # optimizer
+    optimizer: str = "dsgd"              # "dsgd" | "sgd"
+    dsgd_min_scale: float = 0.23
+    dsgd_max_scale: float = 1.0
+    # parallel layout
+    mesh_axes: Tuple[str, ...] = ("pop",)
+    population_chunk: Optional[int] = None  # microbatch population to bound memory
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,146 @@
+"""Vectorized population rollouts — the hot path.
+
+The reference evaluates one perturbation per episode per python loop
+iteration, one env step per policy forward of batch 1 (reference
+worker/agent.py:35-52).  Here the whole population rolls out in lockstep as
+one XLA program: ``vmap`` over P population members of a ``lax.scan`` over T
+timesteps, each step fusing the policy forward (batched over P on the MXU)
+with the pure-function env transition.  Post-done steps are masked; per-step
+entropy and sampled Welford observation statistics accumulate in the carry,
+reproducing the reference's per-episode quantities without a second pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dfd_tpu.core import welford
+from dfd_tpu.envs.base import JaxEnv
+from dfd_tpu.models import layers
+from dfd_tpu.models.base import PolicyModel
+
+
+class RolloutResult(NamedTuple):
+    reward: jnp.ndarray        # [ ] episodic return (sum of rewards until done)
+    entropy: jnp.ndarray       # [ ] mean policy entropy over visited states
+    steps: jnp.ndarray         # [ ] executed steps (<= T)
+    obs_stats: welford.WelfordState  # sampled local observation statistics
+    states: Any                # [T, *obs] visited observations (padded past done)
+
+
+def episode_rollout(
+    model: PolicyModel,
+    env: JaxEnv,
+    params,
+    bn_state,
+    key,
+    horizon: int,
+    deterministic,
+    obs_mean,
+    obs_std,
+    normalize_obs: bool,
+    obs_stats_update_chance: float,
+    collect_states: bool = True,
+) -> RolloutResult:
+    """One full episode as a lax.scan; pure, vmappable over params/key."""
+
+    reset_key, act_key, stats_key = jax.random.split(key, 3)
+    env_state, obs = env.reset(reset_key)
+
+    def policy_step(carry, t):
+        env_state, obs, done, acc = carry
+        raw_obs = obs
+        if normalize_obs:
+            obs = jnp.clip((obs - obs_mean) / obs_std, -10, 10)
+
+        step_key = jax.random.fold_in(act_key, t)
+        if model.discrete:
+            probs = model.apply(params, bn_state, obs)[0]
+            action = jnp.where(
+                deterministic,
+                jnp.argmax(probs),
+                jax.random.categorical(step_key, jnp.log(jnp.maximum(probs, 1e-38))),
+            ).astype(jnp.int32)
+            step_entropy = layers.categorical_entropy(probs)
+        else:
+            mean, std = model.apply(params, bn_state, obs)
+            mean, std = mean[0], std[0]
+            action = jnp.where(
+                deterministic, mean, mean + std * jax.random.normal(step_key, mean.shape)
+            )
+            step_entropy = layers.gaussian_entropy(std).sum()
+
+        new_env_state, new_obs, reward, step_done = env.step(env_state, action)
+
+        active = jnp.logical_not(done)
+        af = active.astype(jnp.float32)
+        sample_mask = af * (
+            jax.random.uniform(jax.random.fold_in(stats_key, t)) < obs_stats_update_chance
+        ).astype(jnp.float32)
+
+        reward_acc, ent_acc, step_acc, stats = acc
+        stats = welford.jnp_update_batch(stats, raw_obs[None], sample_mask[None])
+        acc = (
+            reward_acc + af * reward,
+            ent_acc + af * step_entropy,
+            step_acc + active.astype(jnp.int32),
+            stats,
+        )
+
+        # freeze the env once done (post-done transitions are discarded)
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(done, o, n), new, old
+        )
+        env_state = keep(new_env_state, env_state)
+        obs = jnp.where(done, obs, new_obs)
+        done = jnp.logical_or(done, step_done)
+
+        out_state = raw_obs if collect_states else None
+        return (env_state, obs, done, acc), out_state
+
+    stats0 = welford.jnp_init(env.obs_shape)
+    acc0 = (jnp.float32(0), jnp.float32(0), jnp.int32(0), stats0)
+    carry0 = (env_state, obs, jnp.asarray(False), acc0)
+    (final_env, final_obs, done, acc), states = jax.lax.scan(
+        policy_step, carry0, jnp.arange(horizon)
+    )
+    reward, ent_sum, steps, stats = acc
+    entropy = ent_sum / jnp.maximum(steps, 1).astype(jnp.float32)
+    return RolloutResult(reward=reward, entropy=entropy, steps=steps, obs_stats=stats, states=states)
+
+
+def population_rollout(
+    model: PolicyModel,
+    env: JaxEnv,
+    pop_params,
+    bn_state,
+    keys,
+    horizon: int,
+    obs_mean,
+    obs_std,
+    normalize_obs: bool,
+    obs_stats_update_chance: float,
+    collect_states: bool = False,
+) -> RolloutResult:
+    """vmap of :func:`episode_rollout` over stacked population params/keys."""
+
+    def one(params, key):
+        return episode_rollout(
+            model,
+            env,
+            params,
+            bn_state,
+            key,
+            horizon,
+            deterministic=jnp.asarray(False),
+            obs_mean=obs_mean,
+            obs_std=obs_std,
+            normalize_obs=normalize_obs,
+            obs_stats_update_chance=obs_stats_update_chance,
+            collect_states=collect_states,
+        )
+
+    return jax.vmap(one)(pop_params, keys)

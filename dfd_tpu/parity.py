@@ -1,0 +1,120 @@
+"""Reference-parity helpers (opt-in; requires torch, which ships in the image).
+
+The TPU-native path never touches torch.  But two reference behaviors are
+torch-RNG-coupled and must be replayed exactly for bit-level parity runs on
+simple_trap_env (BASELINE.md "Exactness" target):
+
+1. **Initialization residue.**  The reference's normc init *overwrites*
+   torch's default (kaiming) init via ``w += (normc_w - w)`` in float32
+   (reference policies/policy.py:105-112).  ``a + (b - a)`` is not ``b`` in
+   floating point, so the shipped initial weights carry a 1-ulp residue that
+   depends on torch's default draws.  :func:`reference_init_flat` replays the
+   construction (torch draws + normc overwrite) and returns the exact flat.
+
+2. **Stochastic action sampling.**  Non-eval episodes sample actions with
+   ``torch.distributions`` from torch's *global* generator, seeded once by the
+   runner (reference run_sequential.py:64, policies/discrete.py:21-24).
+   :class:`TorchSampler` reproduces the draw stream: it seeds torch the same
+   way, replays the construction-time draws, then serves per-step samples.
+
+Everything here degrades gracefully: if torch is unavailable the native
+(counter-based JAX) paths are used and no parity is claimed.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def _torch():
+    import torch  # lazy; parity paths only
+
+    return torch
+
+
+def torch_available() -> bool:
+    try:
+        _torch()
+        return True
+    except Exception:
+        return False
+
+
+def replay_construction_draws(layer_dims: Sequence[Tuple[int, int]]):
+    """Construct torch Linears in reference order, consuming the global RNG
+    exactly as the reference policy constructor does, and return their default
+    (weight, bias) tensors as numpy float32."""
+    torch = _torch()
+    out = []
+    with torch.no_grad():
+        for d_in, d_out in layer_dims:
+            lin = torch.nn.Linear(d_in, d_out)
+            out.append((lin.weight.numpy().copy(), lin.bias.numpy().copy()))
+    return out
+
+
+def reference_init_flat(model, seed: int) -> np.ndarray:
+    """The reference policy's exact initial trainable flat for ``model``.
+
+    ``model`` is a dfd_tpu PolicyModel whose ``reference_linear_dims`` and
+    ``reference_weight_shapes`` describe the torch construction; the normc
+    draws come from the model's own init (same numpy stream), and the
+    overwrite residue is applied here.  Requires torch's global generator to
+    be pre-seeded exactly like the reference runner (torch.manual_seed).
+    """
+    from dfd_tpu.models.init import normc_layers
+
+    defaults = replay_construction_draws(model.reference_linear_dims())
+    params, _ = model.init(seed)
+
+    default_by_linear = dict(zip(model.linear_names(), defaults))
+    for name in model.weighted_layer_names():
+        p = params[name]
+        if name in default_by_linear:
+            dw, _db = default_by_linear[name]
+        else:  # BatchNorm default: weight=ones (no RNG draws)
+            dw = np.ones_like(p["w"])
+        # w_final = default + (normc - default), computed in float32
+        p["w"] = (dw + (p["w"] - dw)).astype(np.float32)
+        # bias: default + (-default) == exactly 0.0
+        p["b"] = np.zeros_like(p["b"])
+    return model.get_flat(params)
+
+
+class TorchSampler:
+    """Action sampler consuming torch's global RNG like the reference policies.
+
+    Seed via ``torch.manual_seed(seed)`` (or :func:`seed`), then call
+    :func:`replay_construction` once (the reference constructs its policy
+    after seeding, which consumes generator state), and use the ``sample_*``
+    methods during rollouts.
+    """
+
+    def __init__(self, seed: int | None = None):
+        if seed is not None:
+            self.seed(seed)
+
+    def seed(self, seed: int) -> None:
+        _torch().manual_seed(seed)
+
+    def replay_construction(self, layer_dims: Sequence[Tuple[int, int]]) -> None:
+        replay_construction_draws(layer_dims)
+
+    def sample_categorical(self, probs: np.ndarray) -> int:
+        torch = _torch()
+        with torch.no_grad():
+            distr = torch.distributions.Categorical(
+                probs=torch.as_tensor(np.asarray(probs, np.float32)).view(1, -1)
+            )
+            return int(distr.sample().item())
+
+    def sample_normal(self, mean: np.ndarray, std: np.ndarray) -> List[float]:
+        torch = _torch()
+        with torch.no_grad():
+            distr = torch.distributions.Normal(
+                torch.as_tensor(np.asarray(mean, np.float32)),
+                torch.as_tensor(np.asarray(std, np.float32)),
+            )
+            return distr.sample().flatten().tolist()

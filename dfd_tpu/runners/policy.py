@@ -1,0 +1,114 @@
+"""Host-side policy wrapper for the sequential / elastic-client topologies.
+
+Binds a functional PolicyModel to a concrete flat parameter vector and
+BatchNorm state, exposing the reference Policy surface (get_action /
+get_entropy / get_strategy / flat get-set / serialize, reference
+policies/policy.py:17-69) with a pluggable action sampler:
+
+- :class:`NumpySampler` — the native host sampler (numpy RandomState);
+- ``dfd_tpu.parity.TorchSampler`` — replays the reference's torch RNG stream
+  for bit-level trajectory parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.models.base import PolicyModel
+
+
+class NumpySampler:
+    """Inverse-CDF categorical / Box-Muller-free normal sampling via numpy."""
+
+    def __init__(self, seed: int = 0):
+        self.rng = np.random.RandomState(seed)
+
+    def sample_categorical(self, probs: np.ndarray) -> int:
+        p = np.asarray(probs, np.float64)
+        p = p / p.sum()
+        return int(np.searchsorted(np.cumsum(p), self.rng.uniform(), side="right"))
+
+    def sample_normal(self, mean: np.ndarray, std: np.ndarray):
+        return (np.asarray(mean) + np.asarray(std) * self.rng.standard_normal(np.shape(mean))).flatten().tolist()
+
+
+class HostPolicy:
+    def __init__(
+        self,
+        model: PolicyModel,
+        flat: Optional[np.ndarray] = None,
+        bn_state=None,
+        seed: int = 124,
+        sampler=None,
+    ):
+        self.model = model
+        if flat is None or bn_state is None:
+            params, state = model.init(seed)
+            flat = model.get_flat(params) if flat is None else flat
+            bn_state = state if bn_state is None else bn_state
+        self.flat = np.asarray(flat, np.float32).copy()
+        self.bn_state = bn_state
+        self.sampler = sampler if sampler is not None else NumpySampler(seed)
+        self._apply = jax.jit(
+            lambda f, s, x: model.apply(model.set_flat(f, xp=jnp), s, x)
+        )
+        self._vbn = jax.jit(lambda f, s, x: model.vbn(model.set_flat(f, xp=jnp), s, x))
+
+    # -- reference-compatible surface --------------------------------------------
+
+    @property
+    def num_params(self) -> int:
+        return self.model.num_params
+
+    @property
+    def input_shape(self):
+        return self.model.input_shape
+
+    def get_trainable_flat(self) -> np.ndarray:
+        return self.flat.copy()
+
+    def set_trainable_flat(self, flat) -> None:
+        self.flat = np.asarray(flat, np.float32).copy()
+
+    def forward(self, x):
+        return self._apply(self.flat, self.bn_state, jnp.asarray(x))
+
+    def get_action(self, obs, deterministic: bool = False):
+        out = self.forward(obs)
+        if self.model.discrete:
+            probs = np.asarray(out)[0]
+            if deterministic:
+                return int(np.argmax(probs))
+            return self.sampler.sample_categorical(probs)
+        mean, std = (np.asarray(o)[0] for o in out)
+        if deterministic:
+            return mean.flatten().tolist()
+        return self.sampler.sample_normal(mean, std)
+
+    def get_entropy(self, states) -> float:
+        params = self.model.set_flat(self.flat, xp=jnp)
+        return float(self.model.entropy(params, self.bn_state, jnp.asarray(states)))
+
+    def get_strategy(self, zeta) -> np.ndarray:
+        params = self.model.set_flat(self.flat, xp=jnp)
+        return np.asarray(self.model.strategy(params, self.bn_state, jnp.asarray(zeta)))
+
+    def compute_vbn(self, buffer) -> None:
+        self.bn_state = jax.device_get(self._vbn(self.flat, self.bn_state, jnp.asarray(buffer)))
+
+    def serialize(self):
+        params = self.model.set_flat(self.flat, xp=np)
+        return np.asarray(self.model.serialize(params, self.bn_state, xp=np)).tolist()
+
+    def deserialize(self, serialized) -> None:
+        params, state = self.model.deserialize(np.asarray(serialized, np.float32), xp=np)
+        self.flat = self.model.get_flat(params, xp=np)
+        if state:
+            self.bn_state = state
+
+    def reset(self) -> None:
+        """Reset per-episode recurrent state (no-op for feed-forward models)."""

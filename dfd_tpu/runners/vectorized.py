@@ -1,0 +1,341 @@
+"""The TPU-native trainer: one jitted SPMD program per epoch.
+
+Inversion of the reference's asynchronous client/server (reference
+run_server.py / run_client.py): instead of N CPU processes streaming returns
+over gRPC, a population of P seeded perturbations rolls out in lockstep on
+the device mesh —
+
+  - noise is counter-based (``fold_in(key, epoch), member_id``), so a
+    perturbation never exists as traffic, only as an id (the TPU analogue of
+    the reference's encoded PCG64 state, utils/noise_sources.py:4-20);
+  - rollouts are ``vmap(P) x lax.scan(T)`` fused with the policy forward
+    (fd/rollout.py);
+  - the gradient is the on-device fitness-weighted combine (fd/combine.py),
+    whose population contraction XLA lowers to collectives over ICI when P
+    is sharded across a mesh;
+  - DSGD, the omega schedule, EMA baselines, zeta replacement and the merged
+    Welford observation statistics all live inside the same jitted step;
+  - only the tiny, sequential, data-dependent pieces stay on host between
+    epochs: the strategy-archive accept/evict logic and metrics.
+
+The per-epoch broadcast/collect of the reference (O(params) gRPC traffic per
+client) becomes zero host traffic: parameters are device-resident and
+replicated; cross-chip traffic is the O(d) psum of the combine.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.config import TrainConfig
+from dfd_tpu.core import welford
+from dfd_tpu.core.noise import CounterNoise
+from dfd_tpu.envs.base import JaxEnv
+from dfd_tpu.fd import combine as fd_combine
+from dfd_tpu.fd import rollout as fd_rollout
+from dfd_tpu.fd.dsgd import DSGDParams, dsgd_update, lr_scale_from_omega
+from dfd_tpu.fd.omega import OmegaParams, OmegaState, omega_init, omega_step
+from dfd_tpu.models.base import PolicyModel
+from dfd_tpu.novelty.handler import StrategyHandler
+from dfd_tpu.utils.metrics import EpochReporter
+
+
+class TrainState(NamedTuple):
+    flat: jnp.ndarray            # [d] trainable parameters (replicated)
+    bn_state: Any                # non-trainable model state
+    omega: OmegaState
+    obs_stats: welford.WelfordState
+    zeta: jnp.ndarray            # [Z, *obs]
+    policy_reward: jnp.ndarray   # EMA scalars
+    policy_entropy: jnp.ndarray
+    policy_novelty: jnp.ndarray
+    epoch: jnp.ndarray           # i32
+    key: jnp.ndarray
+
+
+class VectorizedTrainer:
+    def __init__(
+        self,
+        model: PolicyModel,
+        env: JaxEnv,
+        distance_fn,
+        cfg: TrainConfig,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        reporter: Optional[EpochReporter] = None,
+    ):
+        self.model = model
+        self.env = env
+        self.distance_fn = distance_fn
+        self.cfg = cfg
+        self.mesh = mesh
+        self.reporter = reporter or EpochReporter(quiet=True)
+
+        self.P = cfg.batch_size
+        self.horizon = cfg.episode_length or env.max_episode_steps
+        self.noise = CounterNoise(model.num_params, random_seed=cfg.random_seed)
+
+        params, bn_state = model.init(cfg.random_seed)
+        self._init_params = params
+        flat = jnp.asarray(model.get_flat(params))
+
+        self.handler = StrategyHandler(
+            model, bn_state, distance_fn, max_history_size=cfg.max_strategy_history_size
+        )
+        self.H = cfg.max_strategy_history_size
+
+        self.dsgd_hp = DSGDParams(
+            lr=cfg.learning_rate,
+            sqrt_d=float(np.sqrt(model.num_params)),
+            min_scale=cfg.dsgd_min_scale,
+            max_scale=cfg.dsgd_max_scale,
+        )
+        self.omega_hp = OmegaParams(
+            improvement_threshold=cfg.omega.improvement_threshold,
+            min_omega=cfg.omega.min_value,
+            max_omega=cfg.omega.max_value,
+            increase=1.0 / cfg.omega.steps_to_max,
+            decrease=1.0 / cfg.omega.steps_to_min,
+        )
+
+        zeta = self._seed_zeta()
+        self.state = TrainState(
+            flat=flat,
+            bn_state=jax.tree.map(jnp.asarray, bn_state),
+            omega=omega_init(cfg.omega.default_value, cfg.omega.reward_history_size),
+            obs_stats=welford.jnp_init(env.obs_shape),
+            zeta=zeta,
+            policy_reward=jnp.float32(0),
+            policy_entropy=jnp.float32(0),
+            policy_novelty=jnp.float32(0),
+            epoch=jnp.int32(0),
+            key=jax.random.key(cfg.random_seed),
+        )
+        self.cumulative_timesteps = 0
+        self._archive_shape = None  # set lazily; archive tensor is a jit input
+
+        self._step = jax.jit(self._epoch_step, static_argnums=())
+
+    # -- public ------------------------------------------------------------------
+
+    def train(self, n_epochs: int) -> None:
+        self.handler.add_policy(np.asarray(self.state.flat))
+        for _ in range(n_epochs):
+            t0 = time.perf_counter()
+            archive, count = self._archive_inputs()
+            self.state, metrics, eval_states, eval_steps = self._step(self.state, archive, count)
+            m = {k: float(v) for k, v in metrics.items()}
+            self.cumulative_timesteps += int(m.pop("_timesteps"))
+
+            did_eval = m.pop("_did_eval") > 0
+            if did_eval:
+                # re-evaluate the archive on the refreshed zeta (host-driven,
+                # device-batched) — reference run_sequential.py:146-147
+                self.handler.set_zeta(np.asarray(self.state.zeta))
+            if m["Update Magnitude"] > 0:
+                self.handler.add_policy(np.asarray(self.state.flat))
+
+            m.update(
+                {
+                    "Epoch": int(self.state.epoch),
+                    "Epoch Time": time.perf_counter() - t0,
+                    "Cumulative Timesteps": self.cumulative_timesteps,
+                }
+            )
+            self.reporter.report(m)
+
+    # -- jitted epoch ------------------------------------------------------------
+
+    def _epoch_step(self, state: TrainState, archive: jnp.ndarray, archive_count: jnp.ndarray):
+        cfg = self.cfg
+        model = self.model
+        P = self.P
+
+        key, eps_key, roll_key, eval_key, tie_key, zeta_key = jax.random.split(state.key, 6)
+        member_ids = jnp.arange(P)
+        member_ids = self._shard_pop(member_ids)
+
+        obs_mean, obs_std = welford.jnp_mean_std(state.obs_stats)
+
+        # 1. perturb: theta_i = theta + sigma * eps_i  (eps from counter ids)
+        eps = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(member_ids)
+        eps = self._shard_pop(eps)
+        pop_flats = state.flat[None, :] + cfg.noise_std * eps
+        pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
+
+        # 2. population rollout
+        roll_keys = jax.vmap(lambda i: jax.random.fold_in(roll_key, i))(member_ids)
+        result = fd_rollout.population_rollout(
+            model,
+            self.env,
+            pop_params,
+            state.bn_state,
+            roll_keys,
+            self.horizon,
+            obs_mean,
+            obs_std,
+            cfg.normalize_obs,
+            cfg.obs_stats_update_chance,
+            collect_states=False,
+        )
+
+        # 3. novelty of each perturbed policy vs the archive
+        novelty = self._batch_novelty(pop_params, state, archive, archive_count)
+
+        # 4. eval rollout (unperturbed, deterministic) every eval_every epochs
+        do_eval = (state.epoch % cfg.eval_every) == 0
+        base_params = model.set_flat(state.flat, xp=jnp)
+        eval_res = fd_rollout.episode_rollout(
+            model,
+            self.env,
+            base_params,
+            state.bn_state,
+            eval_key,
+            self.horizon,
+            deterministic=jnp.asarray(True),
+            obs_mean=obs_mean,
+            obs_std=obs_std,
+            normalize_obs=cfg.normalize_obs,
+            obs_stats_update_chance=cfg.obs_stats_update_chance,
+            collect_states=True,
+        )
+        eval_novelty = self._batch_novelty(
+            jax.tree.map(lambda x: x[None], base_params), state, archive, archive_count
+        )[0]
+
+        ema = lambda old, new: jnp.where(do_eval, old * 0.9 + new * 0.1, old)
+        policy_reward = ema(state.policy_reward, eval_res.reward)
+        policy_entropy = ema(state.policy_entropy, eval_res.entropy)
+        policy_novelty = ema(state.policy_novelty, eval_novelty)
+
+        # 5. zeta refresh from the eval episode's visited states
+        zeta = self._update_zeta(state.zeta, eval_res, zeta_key, do_eval)
+
+        # 6. omega steps on eval epochs with the mean noisy reward
+        noisy_mean = result.reward.mean()
+        stepped = omega_step(state.omega, noisy_mean, self.omega_hp)
+        omega = jax.tree.map(lambda a, b: jnp.where(do_eval, a, b), stepped, state.omega)
+
+        # 7. fitness -> combine -> DSGD
+        fitness = fd_combine.fitness_from_rewards(result.reward, policy_reward, tie_key)
+        gradient = fd_combine.combine_gradient(eps, fitness, cfg.noise_std)
+        lr_scale = lr_scale_from_omega(
+            omega.omega, cfg.omega.min_value, cfg.omega.max_value,
+            cfg.dsgd_min_scale, cfg.dsgd_max_scale,
+        )
+        new_flat = dsgd_update(state.flat, -gradient, lr_scale, self.dsgd_hp)
+        update_size = jnp.sqrt(jnp.sum((new_flat - state.flat) ** 2))
+
+        # 8. merge sampled observation statistics from the population
+        obs_stats = state.obs_stats
+        if cfg.normalize_obs:
+            pop_merged = welford.jnp_merge_population(result.obs_stats)
+            obs_stats = welford.jnp_merge(obs_stats, pop_merged)
+            obs_stats = welford.jnp_merge(obs_stats, eval_res.obs_stats)
+
+        new_state = TrainState(
+            flat=new_flat,
+            bn_state=state.bn_state,
+            omega=omega,
+            obs_stats=obs_stats,
+            zeta=zeta,
+            policy_reward=policy_reward,
+            policy_entropy=policy_entropy,
+            policy_novelty=policy_novelty,
+            epoch=state.epoch + 1,
+            key=key,
+        )
+        metrics = {
+            "Policy Reward": policy_reward,
+            "Policy Entropy": policy_entropy,
+            "Policy Novelty": policy_novelty,
+            "Noisy Reward": noisy_mean,
+            "Noisy Novelty": novelty.mean(),
+            "Update Magnitude": update_size,
+            "Omega": omega.omega,
+            "_timesteps": result.steps.sum() + eval_res.steps,
+            "_did_eval": do_eval.astype(jnp.int32),
+        }
+        return new_state, metrics, eval_res.states, eval_res.steps
+
+    # -- pieces ------------------------------------------------------------------
+
+    def _batch_novelty(self, pop_params, state: TrainState, archive, archive_count):
+        """Min behavioral distance to the archive, 0 when the archive has <2
+        entries (reference strategy_handler.py:25-31 guard)."""
+
+        def one(params):
+            strat = self.model.strategy(params, state.bn_state, state.zeta)
+            dists = self.distance_fn(strat, archive, xp=jnp)
+            idx = jnp.arange(archive.shape[0])
+            dists = jnp.where(idx < archive_count, dists, jnp.inf)
+            return jnp.where(archive_count >= 2, jnp.min(dists), 0.0)
+
+        return jax.vmap(one)(pop_params)
+
+    def _update_zeta(self, zeta, eval_res, zeta_key, do_eval):
+        """Replace a random permutation of zeta slots with the first visited
+        eval states (reference run_sequential.py:142-143 semantics)."""
+        Z = zeta.shape[0]
+        states = eval_res.states[:Z]
+        pad = Z - states.shape[0]
+        if pad > 0:
+            states = jnp.concatenate([states, jnp.zeros((pad,) + states.shape[1:], states.dtype)])
+        perm = jax.random.permutation(zeta_key, Z)
+        n_valid = jnp.minimum(eval_res.steps, Z)
+        valid = (jnp.arange(Z) < n_valid).reshape((Z,) + (1,) * (zeta.ndim - 1))
+        new_vals = jnp.where(valid, states, zeta[perm])
+        new_zeta = zeta.at[perm].set(new_vals)
+        return jax.tree.map(lambda a, b: jnp.where(do_eval, a, b), new_zeta, zeta)
+
+    def _shard_pop(self, x):
+        if self.mesh is None:
+            return x
+        spec = jax.sharding.PartitionSpec(self.cfg.mesh_axes[0], *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, jax.sharding.NamedSharding(self.mesh, spec))
+
+    def _archive_inputs(self):
+        """Fixed-shape archive tensor + valid count for the jitted step."""
+        t = self.handler.strategy_tensor
+        Z = self.state.zeta.shape[0]
+        F = (
+            self.model.output_shape
+            if self.model.discrete
+            else 2 * self.model.output_shape
+        )
+        full = np.zeros((self.H, Z, F), np.float32)
+        count = 0
+        if isinstance(t, np.ndarray) and t.ndim == 3:
+            count = min(len(t), self.H)
+            full[:count] = t[:count]
+        return jnp.asarray(full), jnp.int32(count)
+
+    def _seed_zeta(self) -> jnp.ndarray:
+        """Initial zeta from a random-action rollout (reference
+        run_sequential.py:198-213)."""
+        env = self.env
+        cfg = self.cfg
+        key = jax.random.key(cfg.random_seed)
+
+        def step(carry, k):
+            env_state, obs = carry
+            ak, rk = jax.random.split(k)
+            if env.discrete:
+                action = jax.random.randint(ak, (), 0, env.n_actions)
+            else:
+                action = jax.random.uniform(ak, (env.action_dim,), minval=-1.0, maxval=1.0)
+            new_state, new_obs, _, done = env.step(env_state, action)
+            reset_state, reset_obs = env.reset(rk)
+            pick = lambda a, b: jax.tree.map(lambda x, y: jnp.where(done, x, y), a, b)
+            return (pick(reset_state, new_state), jnp.where(done, reset_obs, new_obs)), obs
+
+        k0, kr = jax.random.split(key)
+        init = env.reset(kr)
+        keys = jax.random.split(k0, cfg.zeta_size)
+        _, zeta = jax.lax.scan(step, init, keys)
+        return zeta

@@ -1,0 +1,99 @@
+"""simple_trap_env: exact step-for-step parity with the reference env."""
+
+import numpy as np
+import pytest
+
+from dfd_tpu.envs.trap import EPISODE_LENGTH, TrapEnv, load_walkable_grid, parse_map_text
+from tests._reference import load_reference, make_trap_env, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+
+def test_grid_matches_reference_tilemap():
+    ns = load_reference()
+    import os
+
+    cwd = os.getcwd()
+    try:
+        os.chdir("/root/reference")
+        tm = ns.TileMap()
+        tm.load_map("custom_envs/simple_trap_env/map.txt")
+    finally:
+        os.chdir(cwd)
+    grid = load_walkable_grid()
+    assert grid.shape == (tm.height, tm.width)
+    for i in range(tm.height):
+        for j in range(tm.width):
+            assert bool(grid[i, j]) == tm.nodes[i][j].walkable, (i, j)
+
+
+def test_text_parser_matches_npz():
+    with open(load_reference().map_path) as f:
+        grid = parse_map_text(f.read())
+    np.testing.assert_array_equal(grid, load_walkable_grid())
+
+
+def test_episode_parity_random_actions():
+    ref_env = make_trap_env()
+    env = TrapEnv()
+    rng = np.random.RandomState(0)
+
+    for episode in range(3):
+        ref_obs = ref_env.reset()
+        state, obs = env.reset()
+        np.testing.assert_allclose(np.asarray(obs, np.float64), ref_obs, rtol=0, atol=1e-7)
+        done = False
+        steps = 0
+        while not done:
+            a = rng.randint(0, 9)
+            ref_obs, ref_rew, ref_done, _ = ref_env.step(a)
+            state, obs, rew, done_j = env.step(state, a)
+            np.testing.assert_allclose(np.asarray(obs, np.float64), ref_obs, rtol=0, atol=1e-7)
+            assert float(rew) == float(ref_rew)
+            assert bool(done_j) == bool(ref_done)
+            done = ref_done
+            steps += 1
+        assert steps == EPISODE_LENGTH + 1
+
+
+def test_walls_block_movement():
+    env = TrapEnv()
+    grid = load_walkable_grid()
+    # find a walkable cell with an unwalkable right neighbor
+    ys, xs = np.where(grid[:, :-1] & ~grid[:, 1:])
+    y, x = int(ys[0]), int(xs[0])
+    from dfd_tpu.envs.trap import TrapState
+    import jax.numpy as jnp
+
+    s = TrapState(ix=jnp.asarray(x, jnp.int32), iy=jnp.asarray(y, jnp.int32), t=jnp.asarray(0, jnp.int32))
+    # action with dx=+1, dy=0 -> a//3-1=1, a%3-1=0 -> a=7
+    s2, _, rew, _ = env.step(s, 7)
+    assert int(s2.ix) == x and int(s2.iy) == y
+    assert float(rew) == 0.0
+
+
+def test_scan_rollout_matches_python_loop():
+    """The env must behave identically under jit + lax.scan."""
+    import jax
+    import jax.numpy as jnp
+
+    env = TrapEnv()
+    actions = np.random.RandomState(1).randint(0, 9, size=env.max_episode_steps).astype(np.int32)
+
+    state, obs = env.reset()
+    py_rewards = []
+    for a in actions:
+        state, obs, rew, done = env.step(state, int(a))
+        py_rewards.append(float(rew))
+        if bool(done):
+            break
+
+    def scan_fn(carry, a):
+        st = carry
+        st, obs, rew, done = env.step(st, a)
+        return st, (rew, done)
+
+    st0, _ = env.reset()
+    _, (rews, dones) = jax.jit(lambda s, acts: jax.lax.scan(scan_fn, s, acts))(st0, jnp.asarray(actions))
+    n = int(np.argmax(np.asarray(dones))) + 1
+    np.testing.assert_allclose(np.asarray(rews)[:n], np.asarray(py_rewards), rtol=0)
