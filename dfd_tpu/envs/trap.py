@@ -103,8 +103,11 @@ class TrapEnv(JaxEnv):
 
     def step(self, state: TrapState, action):
         a = jnp.asarray(action, jnp.int32)
-        dx = a // 3 - 1
-        dy = a % 3 - 1
+        # out-of-range actions are no-ops (node.py:9-11 guard)
+        valid = (a >= 0) & (a < 9)
+        a = jnp.clip(a, 0, 8)
+        dx = jnp.where(valid, a // 3 - 1, 0)
+        dy = jnp.where(valid, a % 3 - 1, 0)
         tx = state.ix + dx
         ty = state.iy + dy
         in_bounds = (tx >= 0) & (tx < self.width) & (ty >= 0) & (ty < self.height)

@@ -84,37 +84,67 @@ def reference_init_flat(model, seed: int) -> np.ndarray:
 
 
 class TorchSampler:
-    """Action sampler consuming torch's global RNG like the reference policies.
+    """Action sampler reproducing the reference's torch global-RNG stream.
 
     Seed via ``torch.manual_seed(seed)`` (or :func:`seed`), then call
     :func:`replay_construction` once (the reference constructs its policy
     after seeding, which consumes generator state), and use the ``sample_*``
     methods during rollouts.
+
+    The sampler snapshots the global generator state after construction and
+    swaps it in/out around every draw, so its stream is isolated: other torch
+    users in the process (e.g. a reference oracle running side-by-side in a
+    parity test) cannot perturb it.
     """
 
     def __init__(self, seed: int | None = None):
         if seed is not None:
             self.seed(seed)
+        else:
+            self._state = _torch().get_rng_state()
 
     def seed(self, seed: int) -> None:
         _torch().manual_seed(seed)
+        self._state = _torch().get_rng_state()
 
     def replay_construction(self, layer_dims: Sequence[Tuple[int, int]]) -> None:
+        torch = _torch()
+        torch.set_rng_state(self._state)
         replay_construction_draws(layer_dims)
+        self._state = torch.get_rng_state()
+
+    def _swap_in(self):
+        torch = _torch()
+        saved = torch.get_rng_state()
+        torch.set_rng_state(self._state)
+        return saved
+
+    def _swap_out(self, saved) -> None:
+        torch = _torch()
+        self._state = torch.get_rng_state()
+        torch.set_rng_state(saved)
 
     def sample_categorical(self, probs: np.ndarray) -> int:
         torch = _torch()
-        with torch.no_grad():
-            distr = torch.distributions.Categorical(
-                probs=torch.as_tensor(np.asarray(probs, np.float32)).view(1, -1)
-            )
-            return int(distr.sample().item())
+        saved = self._swap_in()
+        try:
+            with torch.no_grad():
+                distr = torch.distributions.Categorical(
+                    probs=torch.as_tensor(np.asarray(probs, np.float32).copy()).view(1, -1)
+                )
+                return int(distr.sample().item())
+        finally:
+            self._swap_out(saved)
 
     def sample_normal(self, mean: np.ndarray, std: np.ndarray) -> List[float]:
         torch = _torch()
-        with torch.no_grad():
-            distr = torch.distributions.Normal(
-                torch.as_tensor(np.asarray(mean, np.float32)),
-                torch.as_tensor(np.asarray(std, np.float32)),
-            )
-            return distr.sample().flatten().tolist()
+        saved = self._swap_in()
+        try:
+            with torch.no_grad():
+                distr = torch.distributions.Normal(
+                    torch.as_tensor(np.asarray(mean, np.float32).copy()),
+                    torch.as_tensor(np.asarray(std, np.float32).copy()),
+                )
+                return distr.sample().flatten().tolist()
+        finally:
+            self._swap_out(saved)

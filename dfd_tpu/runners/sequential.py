@@ -62,7 +62,8 @@ class SequentialRunner:
         initial_flat: Optional[np.ndarray] = None,
         reporter: Optional[EpochReporter] = None,
     ):
-        self.rng = np.random.RandomState(random_seed)
+        self.rng = np.random.RandomState(random_seed)           # zeta shuffles (train loop)
+        self._buffer_rng = np.random.RandomState(random_seed)   # initial-buffer actions only
         self.batch_size = batch_size
         self.zeta_size = zeta_size
 
@@ -201,5 +202,5 @@ class SequentialRunner:
 
     def _random_action(self):
         if self.model.discrete:
-            return int(self.rng.randint(self.env.n_actions))
-        return self.rng.uniform(-1, 1, size=self.model.output_shape)
+            return int(self._buffer_rng.randint(self.env.n_actions))
+        return self._buffer_rng.uniform(-1, 1, size=self.model.output_shape)

@@ -212,8 +212,7 @@ def test_torch_sampler_matches_reference_categorical_stream():
     torch.manual_seed(seed)
     theirs = ref.DiscretePolicy(2, 9, seed=seed)
     ours = DiscreteMLP(2, 9)
-    sampler = TorchSampler()
-    torch.manual_seed(seed)
+    sampler = TorchSampler(seed)
     sampler.replay_construction(ours.reference_linear_dims())
     # after construction both streams are aligned; sample through both paths
     rng = np.random.RandomState(0)
