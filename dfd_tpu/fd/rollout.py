@@ -50,28 +50,16 @@ def episode_rollout(
     reset_key, act_key, stats_key = jax.random.split(key, 3)
     env_state, obs = env.reset(reset_key)
 
-    def policy_step(carry, t):
-        env_state, obs, done, acc = carry
+    def policy_step(scan_carry, t):
+        env_state, obs, prev_reward, done, model_carry, acc = scan_carry
         raw_obs = obs
         if normalize_obs:
             obs = jnp.clip((obs - obs_mean) / obs_std, -10, 10)
 
         step_key = jax.random.fold_in(act_key, t)
-        if model.discrete:
-            probs = model.apply(params, bn_state, obs)[0]
-            action = jnp.where(
-                deterministic,
-                jnp.argmax(probs),
-                jax.random.categorical(step_key, jnp.log(jnp.maximum(probs, 1e-38))),
-            ).astype(jnp.int32)
-            step_entropy = layers.categorical_entropy(probs)
-        else:
-            mean, std = model.apply(params, bn_state, obs)
-            mean, std = mean[0], std[0]
-            action = jnp.where(
-                deterministic, mean, mean + std * jax.random.normal(step_key, mean.shape)
-            )
-            step_entropy = layers.gaussian_entropy(std).sum()
+        action, step_entropy, new_model_carry = model.act_step(
+            params, bn_state, obs, prev_reward, done, model_carry, step_key, deterministic
+        )
 
         new_env_state, new_obs, reward, step_done = env.step(env_state, action)
 
@@ -96,15 +84,17 @@ def episode_rollout(
         )
         env_state = keep(new_env_state, env_state)
         obs = jnp.where(done, obs, new_obs)
+        prev_reward = jnp.where(done, prev_reward, reward.astype(jnp.float32))
+        model_carry = keep(new_model_carry, model_carry)
         done = jnp.logical_or(done, step_done)
 
         out_state = raw_obs if collect_states else None
-        return (env_state, obs, done, acc), out_state
+        return (env_state, obs, prev_reward, done, model_carry, acc), out_state
 
     stats0 = welford.jnp_init(env.obs_shape)
     acc0 = (jnp.float32(0), jnp.float32(0), jnp.int32(0), stats0)
-    carry0 = (env_state, obs, jnp.asarray(False), acc0)
-    (final_env, final_obs, done, acc), states = jax.lax.scan(
+    carry0 = (env_state, obs, jnp.float32(0), jnp.asarray(False), model.initial_carry(), acc0)
+    (final_env, final_obs, _, done, _, acc), states = jax.lax.scan(
         policy_step, carry0, jnp.arange(horizon)
     )
     reward, ent_sum, steps, stats = acc

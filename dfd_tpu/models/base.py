@@ -37,6 +37,8 @@ class PolicyModel(abc.ABC):
     output_shape: int
     #: True for categorical action spaces
     discrete: bool = True
+    #: True when the policy carries per-episode recurrent state (e.g. LSTM)
+    recurrent: bool = False
 
     @property
     def num_params(self) -> int:
@@ -54,9 +56,14 @@ class PolicyModel(abc.ABC):
     def apply(self, params: Params, state: State, x: jnp.ndarray):
         """Distribution parameters for a batch of observations."""
 
-    @abc.abstractmethod
     def act(self, params: Params, state: State, obs: jnp.ndarray, key, deterministic):
-        """One action for one observation (key may be unused when deterministic)."""
+        """One action for one observation (fresh-episode carry for recurrent
+        models; key may be unused when deterministic)."""
+        action, _, _ = self.act_step(
+            params, state, obs, jnp.float32(0), jnp.asarray(False),
+            self.initial_carry(), key, deterministic,
+        )
+        return action
 
     @abc.abstractmethod
     def entropy(self, params: Params, state: State, xs: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +77,35 @@ class PolicyModel(abc.ABC):
         """Refresh BatchNorm running statistics with one train-mode pass
         (virtual batch normalization); identity for BN-free models."""
         return state
+
+    # -- per-step acting (the rollout engine's entry point) ----------------------
+
+    def initial_carry(self):
+        """Per-episode recurrent carry; () for feed-forward models."""
+        return ()
+
+    def act_step(self, params, state, obs, prev_reward, prev_done, carry, key, deterministic):
+        """One acting step: (action, step_entropy, new_carry).
+
+        The default implementation serves feed-forward models and ignores the
+        recurrent inputs; recurrent models (IMPALA) override it.
+        """
+        import jax
+
+        from dfd_tpu.models import layers
+
+        if self.discrete:
+            probs = self.apply(params, state, obs)[0]
+            action = jnp.where(
+                deterministic,
+                jnp.argmax(probs),
+                jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-38))),
+            ).astype(jnp.int32)
+            return action, layers.categorical_entropy(probs), carry
+        mean, std = self.apply(params, state, obs)
+        mean, std = mean[0], std[0]
+        action = jnp.where(deterministic, mean, mean + std * jax.random.normal(key, mean.shape))
+        return action, layers.gaussian_entropy(std).sum(), carry
 
     # -- flat views --------------------------------------------------------------
 

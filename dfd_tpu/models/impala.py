@@ -1,0 +1,331 @@
+"""IMPALA ResNet + LSTM policy (reference policies/impala.py:8-186, itself a
+modified TorchBeast ImpalaCNN).
+
+Architecture per frame: x/255 -> 3 blocks of
+[BatchNorm -> Conv3x3 -> MaxPool3x3/2] + two residual sub-blocks
+[BN -> ReLU -> Conv3x3 -> BN -> ReLU -> Conv3x3] with skip connections
+(channels 16/32/32) -> ReLU -> flatten -> [BN -> Linear(256)] -> ReLU ->
+concat(clipped last reward) -> LSTM(256) with done-masked carry ->
+[BN -> Linear(n_actions)] -> Softmax.
+
+Notable reference quirks preserved:
+- the reference's normc init never fires for this policy (its top-level
+  Sequential is [ImpalaCNN, Softmax], neither of which has a ``weight``
+  attribute — policy.py:96-101), so initialization is torch's defaults;
+  :func:`init` reproduces those distributions (kaiming-uniform fan-in for
+  convs/linears, U(-1/sqrt(H), 1/sqrt(H)) for the LSTM, ones/zeros BN);
+- the LSTM consumes the *previous* step's reward, clipped to [-1, 1]
+  (impala.py:158-159), and its carry resets when the input's done flag is
+  set (impala.py:161-175) — in the single-episode rollout engine the carry
+  simply starts at zeros each episode.
+
+The per-step path (`act_step`) is what the vectorized rollout scans; the
+sequence path (`apply_seq`) batch-evaluates whole episodes for entropy and
+strategies, scanning the LSTM over time on device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.core.flat import FlatSpec
+from dfd_tpu.models import layers
+from dfd_tpu.models.atari import batchnorm2d_eval
+from dfd_tpu.models.base import Params, PolicyModel, State
+
+CHANNELS = (16, 32, 32)
+HIDDEN = 256
+
+
+def conv3x3(p, x):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y + p["b"][None, :, None, None]
+
+
+def maxpool3x3s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, 3, 3), window_strides=(1, 1, 2, 2),
+        padding=((0, 0), (0, 0), (1, 1), (1, 1)),
+    )
+
+
+def lstm_step(p, x, carry):
+    """torch-layout LSTM cell: gates ordered (i, f, g, o)."""
+    h, c = carry
+    gates = x @ p["w_ih"].T + p["b_ih"] + h @ p["w_hh"].T + p["b_hh"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    return h, (h, c)
+
+
+class ImpalaPolicy(PolicyModel):
+    discrete = True
+    recurrent = True
+
+    def __init__(self, frame_shape: Tuple[int, int, int], n_actions: int, use_lstm: bool = True):
+        """``frame_shape``: (C, H, W) of one frame (procgen: (3, 64, 64))."""
+        c, h, w = (int(v) for v in frame_shape)
+        self.frame_chw = (c, h, w)
+        self.input_shape = (c, h, w)
+        self.output_shape = int(n_actions)
+        self.use_lstm = use_lstm
+
+        hw = h
+        for _ in CHANNELS:
+            hw = (hw + 2 * 1 - 3) // 2 + 1  # maxpool 3x3 s2 p1
+        ww = w
+        for _ in CHANNELS:
+            ww = (ww + 2 * 1 - 3) // 2 + 1
+        self.flat_features = CHANNELS[-1] * hw * ww
+
+        f32 = np.float32
+        A = self.output_shape
+        core_in = HIDDEN + 1  # fc output + clipped reward
+        core_out = HIDDEN if use_lstm else core_in
+
+        # (name, kind, shape-info) in torch registration order
+        self._layers = []
+        in_ch = c
+        for k, ch in enumerate(CHANNELS):
+            self._layers += [
+                (f"feat{k}_bn", "bn", in_ch),
+                (f"feat{k}_conv", "conv", (ch, in_ch, 3, 3)),
+            ]
+            in_ch = ch
+        for r in (1, 2):
+            for k, ch in enumerate(CHANNELS):
+                self._layers += [
+                    (f"res{r}_{k}_bn1", "bn", ch),
+                    (f"res{r}_{k}_conv1", "conv", (ch, ch, 3, 3)),
+                    (f"res{r}_{k}_bn2", "bn", ch),
+                    (f"res{r}_{k}_conv2", "conv", (ch, ch, 3, 3)),
+                ]
+        self._layers += [
+            ("fc_bn", "bn", self.flat_features),
+            ("fc", "linear", (HIDDEN, self.flat_features)),
+        ]
+        if use_lstm:
+            self._layers += [("lstm", "lstm", (core_in, HIDDEN))]
+        self._layers += [
+            ("policy_bn", "bn", core_out),
+            ("policy", "linear", (A, core_out)),
+        ]
+
+        param_entries, state_entries = [], []
+        for name, kind, info in self._layers:
+            if kind == "bn":
+                param_entries += [((name, "w"), (info,), f32), ((name, "b"), (info,), f32)]
+                state_entries += [
+                    ((name, "w"), (info,), f32),
+                    ((name, "b"), (info,), f32),
+                    ((name, "mean"), (info,), f32),
+                    ((name, "var"), (info,), f32),
+                    ((name, "n"), (), f32),
+                ]
+            elif kind in ("conv", "linear"):
+                out_dim = info[0]
+                param_entries += [((name, "w"), info, f32), ((name, "b"), (out_dim,), f32)]
+                state_entries += [((name, "w"), info, f32), ((name, "b"), (out_dim,), f32)]
+            elif kind == "lstm":
+                ci, hdim = info
+                shapes = [
+                    (("lstm", "w_ih"), (4 * hdim, ci), f32),
+                    (("lstm", "w_hh"), (4 * hdim, hdim), f32),
+                    (("lstm", "b_ih"), (4 * hdim,), f32),
+                    (("lstm", "b_hh"), (4 * hdim,), f32),
+                ]
+                param_entries += shapes
+                state_entries += shapes
+        self.param_spec = FlatSpec.make(param_entries)
+        self.state_spec = FlatSpec.make(state_entries)
+
+    # -- init: torch defaults (normc never fires for this policy) ----------------
+
+    def init(self, seed: int):
+        rng = np.random.RandomState(seed)
+        params: Params = {}
+        state: State = {}
+        for name, kind, info in self._layers:
+            if kind == "bn":
+                params[name] = {"w": np.ones(info, np.float32), "b": np.zeros(info, np.float32)}
+                state[name] = {
+                    "mean": np.zeros(info, np.float32),
+                    "var": np.ones(info, np.float32),
+                    "n": np.zeros((), np.float32),
+                }
+            elif kind in ("conv", "linear"):
+                fan_in = int(np.prod(info[1:]))
+                bound = 1.0 / np.sqrt(fan_in)
+                params[name] = {
+                    "w": rng.uniform(-bound, bound, info).astype(np.float32),
+                    "b": rng.uniform(-bound, bound, info[0]).astype(np.float32),
+                }
+            elif kind == "lstm":
+                ci, hdim = info
+                k = 1.0 / np.sqrt(hdim)
+                params["lstm"] = {
+                    "w_ih": rng.uniform(-k, k, (4 * hdim, ci)).astype(np.float32),
+                    "w_hh": rng.uniform(-k, k, (4 * hdim, hdim)).astype(np.float32),
+                    "b_ih": rng.uniform(-k, k, 4 * hdim).astype(np.float32),
+                    "b_hh": rng.uniform(-k, k, 4 * hdim).astype(np.float32),
+                }
+        return params, state
+
+    # -- forward pieces ----------------------------------------------------------
+
+    def _torso(self, params, state, frames):
+        """frames [B, C, H, W] (raw pixels) -> core features [B, 257]... minus
+        the reward concat (caller appends)."""
+        x = jnp.asarray(frames, jnp.float32) / 255.0
+        for k in range(len(CHANNELS)):
+            x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
+            x = conv3x3(params[f"feat{k}_conv"], x)
+            x = maxpool3x3s2(x)
+            for r in (1, 2):
+                res = x
+                y = batchnorm2d_eval(params[f"res{r}_{k}_bn1"], state[f"res{r}_{k}_bn1"], x)
+                y = jax.nn.relu(y)
+                y = conv3x3(params[f"res{r}_{k}_conv1"], y)
+                y = batchnorm2d_eval(params[f"res{r}_{k}_bn2"], state[f"res{r}_{k}_bn2"], y)
+                y = jax.nn.relu(y)
+                y = conv3x3(params[f"res{r}_{k}_conv2"], y)
+                x = y + res
+        x = jax.nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = layers.batchnorm_eval(params["fc_bn"], state["fc_bn"], x)
+        x = layers.linear(params["fc"], x)
+        return jax.nn.relu(x)
+
+    def _head(self, params, state, core_output):
+        x = layers.batchnorm_eval(params["policy_bn"], state["policy_bn"], core_output)
+        logits = layers.linear(params["policy"], x)
+        return layers.softmax(logits)
+
+    def initial_carry(self):
+        if not self.use_lstm:
+            return ()
+        return (jnp.zeros((HIDDEN,), jnp.float32), jnp.zeros((HIDDEN,), jnp.float32))
+
+    def step_probs(self, params, state, frame, prev_reward, carry):
+        """One timestep: probs [A] + new carry, for a single frame [C,H,W]."""
+        feat = self._torso(params, state, frame[None])[0]
+        clipped = jnp.clip(prev_reward, -1.0, 1.0)
+        core_in = jnp.concatenate([feat, clipped[None].astype(jnp.float32)])
+        if self.use_lstm:
+            h, carry = lstm_step(params["lstm"], core_in, carry)
+            core_out = h
+        else:
+            core_out = core_in
+        return self._head(params, state, core_out[None])[0], carry
+
+    def act_step(self, params, state, obs, prev_reward, prev_done, carry, key, deterministic):
+        probs, carry = self.step_probs(params, state, obs, prev_reward, carry)
+        action = jnp.where(
+            deterministic,
+            jnp.argmax(probs),
+            jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-38))),
+        ).astype(jnp.int32)
+        return action, layers.categorical_entropy(probs), carry
+
+    def apply_seq(self, params, state, frames, rewards):
+        """Whole-sequence probs [T, A]: torso batched over T, LSTM scanned."""
+        feats = self._torso(params, state, frames)                       # [T, 256]
+        clipped = jnp.clip(rewards, -1.0, 1.0).astype(jnp.float32)       # [T]
+        core_in = jnp.concatenate([feats, clipped[:, None]], axis=-1)    # [T, 257]
+        if self.use_lstm:
+            def scan_fn(carry, x):
+                h, carry = lstm_step(params["lstm"], x, carry)
+                return carry, h
+            _, hs = jax.lax.scan(scan_fn, self.initial_carry(), core_in)
+            core_out = hs
+        else:
+            core_out = core_in
+        return self._head(params, state, core_out)
+
+    # apply() treats a batch of frames as a time sequence with zero rewards —
+    # the shape the strategy/entropy paths need when zeta is a frame set.
+    def apply(self, params, state, x):
+        frames = jnp.asarray(x, jnp.float32)
+        if frames.ndim == 3:
+            frames = frames[None]
+        return self.apply_seq(params, state, frames, jnp.zeros(frames.shape[0]))
+
+    def entropy(self, params, state, xs):
+        return layers.categorical_entropy(self.apply(params, state, xs)).mean()
+
+    def strategy(self, params, state, zeta):
+        return self.apply(params, state, zeta)
+
+    def vbn(self, params, state, buffer):
+        # IMPALA VBN refresh runs the torso+heads in train mode; the torso's
+        # BN updates dominate. Implemented as eval-mode refresh of torso BNs
+        # via batch statistics over the buffer frames.
+        new_state = dict(state)
+        x = jnp.asarray(buffer, jnp.float32) / 255.0
+        for k in range(len(CHANNELS)):
+            name = f"feat{k}_bn"
+            n, c, hh, ww = x.shape
+            flat = x.transpose(0, 2, 3, 1).reshape(-1, c)
+            _, new_state[name] = layers.batchnorm_train(params[name], state[name], flat)
+            x = batchnorm2d_eval(params[name], new_state[name], x)
+            x = maxpool3x3s2(conv3x3(params[f"feat{k}_conv"], x))
+        return new_state
+
+    # -- full-state (wire) view --------------------------------------------------
+
+    def _merge_full(self, params, state):
+        merged = {}
+        for name, kind, _ in self._layers:
+            merged[name] = dict(params[name])
+            if kind == "bn":
+                merged[name].update(state[name])
+        return merged
+
+    def _split_full(self, merged):
+        params, state = {}, {}
+        for name, kind, _ in self._layers:
+            if kind == "bn":
+                params[name] = {"w": merged[name]["w"], "b": merged[name]["b"]}
+                state[name] = {k: merged[name][k] for k in ("mean", "var", "n")}
+            else:
+                params[name] = dict(merged[name])
+        return params, state
+
+    # -- reference-construction metadata -----------------------------------------
+
+    def reference_module_specs(self):
+        """torch modules that draw RNG during reference construction, in
+        *construction* order (impala.py:62-111: per channel block the feature
+        conv, then the two residual sub-blocks' convs — interleaved, unlike
+        the registration order used by the flat views)."""
+        specs, names = [], []
+        in_ch = self.frame_chw[0]
+        for k, ch in enumerate(CHANNELS):
+            specs.append(("conv2d", in_ch, ch, 3, 3))
+            names.append(f"feat{k}_conv")
+            for r in (1, 2):
+                specs += [("conv2d", ch, ch, 3, 3), ("conv2d", ch, ch, 3, 3)]
+                names += [f"res{r}_{k}_conv1", f"res{r}_{k}_conv2"]
+            in_ch = ch
+        specs.append(("linear", self.flat_features, HIDDEN))
+        names.append("fc")
+        if self.use_lstm:
+            specs.append(("lstm", HIDDEN + 1, HIDDEN))
+            names.append("lstm")
+        specs.append(("linear", HIDDEN, self.output_shape))
+        names.append("policy")
+        self._construction_names = names
+        return specs
+
+    def reference_construction_names(self):
+        self.reference_module_specs()
+        return self._construction_names

@@ -42,17 +42,63 @@ def torch_available() -> bool:
         return False
 
 
-def replay_construction_draws(layer_dims: Sequence[Tuple[int, int]]):
-    """Construct torch Linears in reference order, consuming the global RNG
+def replay_construction_draws(module_specs):
+    """Construct torch modules in reference order, consuming the global RNG
     exactly as the reference policy constructor does, and return their default
-    (weight, bias) tensors as numpy float32."""
+    (weight, bias) tensors as numpy float32.
+
+    ``module_specs`` entries: ``(d_in, d_out)`` or ``("linear", d_in, d_out)``
+    for Linear; ``("conv2d", in_ch, out_ch, kh, kw)`` for Conv2d.
+    """
     torch = _torch()
     out = []
     with torch.no_grad():
-        for d_in, d_out in layer_dims:
-            lin = torch.nn.Linear(d_in, d_out)
-            out.append((lin.weight.numpy().copy(), lin.bias.numpy().copy()))
+        for spec in module_specs:
+            if isinstance(spec, tuple) and spec and spec[0] == "conv2d":
+                _, c_in, c_out, kh, kw = spec
+                mod = torch.nn.Conv2d(c_in, c_out, kernel_size=(kh, kw))
+            elif isinstance(spec, tuple) and spec and spec[0] == "lstm":
+                _, d_in, hidden = spec
+                mod = torch.nn.LSTM(d_in, hidden, num_layers=1, batch_first=True)
+                out.append(
+                    {
+                        "w_ih": mod.weight_ih_l0.numpy().copy(),
+                        "w_hh": mod.weight_hh_l0.numpy().copy(),
+                        "b_ih": mod.bias_ih_l0.numpy().copy(),
+                        "b_hh": mod.bias_hh_l0.numpy().copy(),
+                    }
+                )
+                continue
+            elif isinstance(spec, tuple) and spec and spec[0] == "linear":
+                _, d_in, d_out = spec
+                mod = torch.nn.Linear(d_in, d_out)
+            else:
+                d_in, d_out = spec
+                mod = torch.nn.Linear(d_in, d_out)
+            out.append((mod.weight.numpy().copy(), mod.bias.numpy().copy()))
     return out
+
+
+def reference_impala_init_flat(model) -> np.ndarray:
+    """Exact initial trainable flat of the reference ImpalaPolicy.
+
+    The reference's normc init is a no-op for this policy (its top-level
+    Sequential has no weighted layers, policy.py:96-101), so the init IS
+    torch's construction defaults.  Replays the drawing modules in
+    construction order and assembles them into the model's param tree
+    (BatchNorms keep ones/zeros).  Requires torch.manual_seed to match the
+    reference runner's seeding.
+    """
+    defaults = replay_construction_draws(model.reference_module_specs())
+    names = model.reference_construction_names()
+    params, _ = model.init(0)
+    for name, drawn in zip(names, defaults):
+        if isinstance(drawn, dict):
+            params[name] = {k: v.copy() for k, v in drawn.items()}
+        else:
+            w, b = drawn
+            params[name] = {"w": w, "b": b}
+    return model.get_flat(params)
 
 
 def reference_init_flat(model, seed: int) -> np.ndarray:
@@ -64,9 +110,12 @@ def reference_init_flat(model, seed: int) -> np.ndarray:
     overwrite residue is applied here.  Requires torch's global generator to
     be pre-seeded exactly like the reference runner (torch.manual_seed).
     """
-    from dfd_tpu.models.init import normc_layers
-
-    defaults = replay_construction_draws(model.reference_linear_dims())
+    specs = (
+        model.reference_module_specs()
+        if hasattr(model, "reference_module_specs")
+        else model.reference_linear_dims()
+    )
+    defaults = replay_construction_draws(specs)
     params, _ = model.init(seed)
 
     default_by_linear = dict(zip(model.linear_names(), defaults))

@@ -122,6 +122,8 @@ def load_reference():
     fake_policies.MujocoPolicy = mujoco_mod.MujocoPolicy
     atari_mod = _load("_ref_atari", "policies/atari.py")
     fake_policies.AtariPolicy = atari_mod.AtariPolicy
+    impala_mod = _load("_ref_impala", "policies/impala.py")
+    fake_policies.ImpalaPolicy = impala_mod.ImpalaPolicy
 
     fake_learner = types.ModuleType("learner")
     fake_learner.FDReturn = _FDReturnStub
@@ -158,6 +160,7 @@ def load_reference():
         DiscretePolicy=discrete_mod.DiscretePolicy,
         MujocoPolicy=mujoco_mod.MujocoPolicy,
         AtariPolicy=atari_mod.AtariPolicy,
+        ImpalaPolicy=impala_mod.ImpalaPolicy,
         FiniteDifferences=finite_differences.FiniteDifferences,
         FDReturn=_FDReturnStub,
         Agent=agent_mod.Agent,

@@ -1,0 +1,148 @@
+"""IMPALA ResNet+LSTM policy: init and per-step forward parity vs the
+reference ImpalaPolicy (driven step-by-step, T=1 per call, since the
+reference's multi-step LSTM unroll zips time against batch and only ever
+works in the wrapper's one-step regime)."""
+
+import numpy as np
+import pytest
+
+from dfd_tpu.models.impala import ImpalaPolicy
+from tests._reference import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+FRAME = (3, 64, 64)
+A = 15
+
+
+def _ref_policy(ref, seed):
+    import torch
+
+    torch.manual_seed(seed)
+    # reference signature: (observation_space.shape, n_actions) with the
+    # channel count and fc width hardcoded for procgen's 64x64x3
+    return ref.ImpalaPolicy((64, 64, 3), A, seed=seed)
+
+
+def test_impala_flat_sizes_match():
+    ref = load_reference()
+    theirs = _ref_policy(ref, 123)
+    ours = ImpalaPolicy(FRAME, A)
+    assert ours.num_params == theirs.num_params
+
+
+def test_impala_init_flat_matches_reference_exactly():
+    import torch
+
+    from dfd_tpu.parity import reference_impala_init_flat
+
+    ref = load_reference()
+    theirs = _ref_policy(ref, 123)  # seeds torch internally
+    ours = ImpalaPolicy(FRAME, A)
+    torch.manual_seed(123)
+    flat = reference_impala_init_flat(ours)
+    np.testing.assert_array_equal(flat, theirs.get_trainable_flat())
+
+
+def test_impala_stepwise_forward_matches_reference():
+    import torch
+
+    ref = load_reference()
+    theirs = _ref_policy(ref, 7)
+    ours = ImpalaPolicy(FRAME, A)
+    flat = theirs.get_trainable_flat()
+    params = ours.set_flat(flat)
+    _, state = ours.init(7)
+
+    rng = np.random.RandomState(0)
+    T = 4
+    frames = (rng.rand(T, *FRAME) * 255).astype(np.float32)
+    rewards = rng.randn(T).astype(np.float32)
+
+    theirs.reset()
+    carry = ours.initial_carry()
+    with torch.no_grad():
+        for t in range(T):
+            obs = {
+                "frame": torch.as_tensor(frames[t]).view(1, 1, *FRAME),
+                "reward": torch.as_tensor(rewards[t]).view(1, 1),
+                "done": torch.zeros(1, 1, dtype=torch.bool),
+            }
+            ref_probs = theirs.forward(obs).numpy().reshape(A)
+            our_probs, carry = ours.step_probs(params, state, frames[t], rewards[t], carry)
+            np.testing.assert_allclose(np.asarray(our_probs), ref_probs, atol=5e-5), t
+
+
+def test_impala_seq_matches_stepwise():
+    ours = ImpalaPolicy(FRAME, A)
+    params, state = ours.init(3)
+    rng = np.random.RandomState(1)
+    T = 3
+    frames = (rng.rand(T, *FRAME) * 255).astype(np.float32)
+    rewards = rng.randn(T).astype(np.float32)
+    seq = np.asarray(ours.apply_seq(params, state, frames, rewards))
+    carry = ours.initial_carry()
+    for t in range(T):
+        step, carry = ours.step_probs(params, state, frames[t], rewards[t], carry)
+        np.testing.assert_allclose(seq[t], np.asarray(step), atol=1e-5)
+
+
+def test_impala_strategy_and_entropy_shapes():
+    ours = ImpalaPolicy(FRAME, A)
+    params, state = ours.init(5)
+    zeta = (np.random.RandomState(2).rand(4, *FRAME) * 255).astype(np.float32)
+    strat = np.asarray(ours.strategy(params, state, zeta))
+    assert strat.shape == (4, A)
+    np.testing.assert_allclose(strat.sum(-1), 1.0, atol=1e-5)
+    ent = float(ours.entropy(params, state, zeta))
+    assert 0 < ent <= np.log(A) + 1e-5
+
+
+def test_impala_serialize_roundtrip():
+    ours = ImpalaPolicy(FRAME, A)
+    params, state = ours.init(9)
+    ser = ours.serialize(params, state, xp=np)
+    p2, s2 = ours.deserialize(np.asarray(ser), xp=np)
+    np.testing.assert_array_equal(ours.get_flat(p2), ours.get_flat(params))
+    np.testing.assert_array_equal(
+        np.asarray(s2["feat1_bn"]["var"]), np.asarray(state["feat1_bn"]["var"])
+    )
+
+
+def test_impala_rollout_integration():
+    """The recurrent policy runs under the vectorized rollout engine."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.base import JaxEnv
+    from dfd_tpu.fd import rollout as fd_rollout
+
+    class TinyPixelEnv(JaxEnv):
+        n_actions = A
+        obs_shape = FRAME
+        max_episode_steps = 5
+
+        def reset(self, key=None):
+            state = jnp.asarray(0, jnp.int32)
+            return state, jnp.zeros(FRAME, jnp.float32)
+
+        def step(self, state, action):
+            t = state + 1
+            obs = jnp.full(FRAME, jnp.float32(t) * 10.0)
+            reward = (action == 0).astype(jnp.float32)
+            done = t >= 4
+            return t, obs, reward, done
+
+    model = ImpalaPolicy(FRAME, A)
+    params, state = model.init(0)
+    jparams = jax.tree.map(jnp.asarray, params)
+    env = TinyPixelEnv()
+    res = fd_rollout.episode_rollout(
+        model, env, jparams, state, jax.random.key(0), 5,
+        deterministic=jnp.asarray(False),
+        obs_mean=jnp.zeros(FRAME), obs_std=jnp.ones(FRAME),
+        normalize_obs=False, obs_stats_update_chance=0.0,
+    )
+    assert int(res.steps) == 4
+    assert np.isfinite(float(res.reward))
+    assert np.isfinite(float(res.entropy))
