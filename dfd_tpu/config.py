@@ -51,6 +51,9 @@ class TrainConfig:
     # parallel layout
     mesh_axes: Tuple[str, ...] = ("pop",)
     population_chunk: Optional[int] = None  # microbatch population to bound memory
+    # noise backend: "jax" (counter keys + jax.random.normal) or "pallas"
+    # (in-kernel counter-hash regeneration; zero noise HBM traffic)
+    noise_backend: str = "jax"
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,60 @@
+"""Host adapter for gymnasium environments (MuJoCo / Atari / Box2D class).
+
+C-engine environments cannot be traced into XLA; they run host-side behind
+the reference-style ``reset()/step()`` surface and feed the sequential and
+elastic-client topologies (the reference's "many cheap CPU clients" regime,
+reference utils/init_helper.py:8-32).  Availability-gated: the image ships
+gymnasium's classic-control family; other suites plug in when installed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def gymnasium_available() -> bool:
+    try:
+        import gymnasium  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class GymnasiumEnv:
+    """Old-gym surface (reset()->obs, step()->obs,rew,done,info) over
+    gymnasium's 5-tuple API, with seed plumbing."""
+
+    def __init__(self, env_id: str, seed: int = 0, **kwargs):
+        import gymnasium
+
+        self._env = gymnasium.make(env_id, **kwargs)
+        self._seed: Optional[int] = seed
+        self.observation_space = self._env.observation_space
+        self.action_space = self._env.action_space
+
+    @property
+    def n_actions(self):
+        space = self._env.action_space
+        return getattr(space, "n", None)
+
+    @property
+    def obs_shape(self):
+        return self._env.observation_space.shape
+
+    def seed(self, seed: int) -> None:
+        self._seed = seed
+
+    def reset(self) -> np.ndarray:
+        obs, _info = self._env.reset(seed=self._seed)
+        self._seed = None  # only the first reset is seeded, like gym's API
+        return np.asarray(obs)
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self._env.step(action)
+        return np.asarray(obs), float(reward), bool(terminated or truncated), info
+
+    def close(self) -> None:
+        self._env.close()

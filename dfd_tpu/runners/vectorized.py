@@ -163,9 +163,19 @@ class VectorizedTrainer:
         obs_mean, obs_std = welford.jnp_mean_std(state.obs_stats)
 
         # 1. perturb: theta_i = theta + sigma * eps_i  (eps from counter ids)
-        eps = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(member_ids)
-        eps = self._shard_pop(eps)
-        pop_flats = state.flat[None, :] + cfg.noise_std * eps
+        if cfg.noise_backend == "pallas":
+            from dfd_tpu.ops.perturb import pallas_perturb
+
+            pop_flats, noise_ssq = pallas_perturb(
+                state.flat, cfg.noise_std, cfg.random_seed, state.epoch, P
+            )
+            pop_flats = self._shard_pop(pop_flats)
+            eps = None
+        else:
+            eps = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(member_ids)
+            eps = self._shard_pop(eps)
+            noise_ssq = None
+            pop_flats = state.flat[None, :] + cfg.noise_std * eps
         pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
 
         # 2. population rollout
@@ -223,7 +233,15 @@ class VectorizedTrainer:
 
         # 7. fitness -> combine -> DSGD
         fitness = fd_combine.fitness_from_rewards(result.reward, policy_reward, tie_key)
-        gradient = fd_combine.combine_gradient(eps, fitness, cfg.noise_std)
+        if cfg.noise_backend == "pallas":
+            from dfd_tpu.ops.perturb import pallas_combine
+
+            coefs = fitness / (cfg.noise_std * jnp.maximum(noise_ssq, 1e-30))
+            gradient = pallas_combine(
+                coefs, cfg.random_seed, state.epoch, self.model.num_params
+            )
+        else:
+            gradient = fd_combine.combine_gradient(eps, fitness, cfg.noise_std)
         lr_scale = lr_scale_from_omega(
             omega.omega, cfg.omega.min_value, cfg.omega.max_value,
             cfg.dsgd_min_scale, cfg.dsgd_max_scale,

@@ -1,0 +1,74 @@
+"""Environment/policy/distance factory (reference utils/init_helper.py:8-32).
+
+Maps an env id to (host env, policy model, strategy distance fn).  JAX-native
+environments get the jitted HostEnv wrapper for the host topologies and are
+returned raw for the vectorized trainer; gymnasium ids fall back to the host
+adapter (classic control ships in the image; MuJoCo/Atari/procgen gate on
+availability).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from dfd_tpu.envs.cartpole import CartPoleEnv
+from dfd_tpu.envs.pendulum import PendulumEnv
+from dfd_tpu.envs.trap import TrapEnv
+from dfd_tpu.models import DiscreteMLP, GaussianMLP
+from dfd_tpu.models.atari import AtariCNN
+from dfd_tpu.models.impala import ImpalaPolicy
+from dfd_tpu.ops import distances
+from dfd_tpu.runners.host_env import HostEnv
+
+JAX_ENVS = {
+    "SimpleTrapEnv-v0": TrapEnv,
+    "CartPole-v1": CartPoleEnv,
+    "Pendulum-v1": PendulumEnv,
+}
+
+
+def make_jax_env(env_id: str):
+    if env_id not in JAX_ENVS:
+        raise KeyError(f"no JAX-native env registered for {env_id!r}")
+    return JAX_ENVS[env_id]()
+
+
+def get_init_data(env_id: str, random_seed: int) -> Tuple[object, object, object]:
+    """(host-surface env, policy model, strategy distance fn) for ``env_id``."""
+    if env_id in JAX_ENVS:
+        jax_env = make_jax_env(env_id)
+        env = HostEnv(jax_env, seed=random_seed)
+        if jax_env.discrete:
+            model = DiscreteMLP(jax_env.obs_dim, jax_env.n_actions)
+            distance_fn = distances.categorical_tvd
+        else:
+            model = GaussianMLP(jax_env.obs_dim, jax_env.action_dim)
+            distance_fn = distances.gaussian_wasserstein_from_strategies
+        return env, model, distance_fn
+
+    from dfd_tpu.envs.gym_adapter import GymnasiumEnv, gymnasium_available
+
+    if not gymnasium_available():
+        raise RuntimeError(f"gymnasium not available for env {env_id!r}")
+
+    if "procgen" in env_id:
+        env = GymnasiumEnv(env_id, seed=random_seed, distribution_mode="easy", num_levels=500)
+        h, w, c = env.obs_shape
+        model = ImpalaPolicy((c, h, w), env.n_actions)
+        distance_fn = distances.categorical_tvd
+    elif "NoFrameskip" in env_id or "ALE/" in env_id:
+        env = GymnasiumEnv(env_id, seed=random_seed)
+        shape = env.obs_shape  # expects deepmind-style (H, W, C=4) stacks
+        model = AtariCNN((shape[0], shape[1]), env.n_actions)
+        distance_fn = distances.categorical_tvd
+    else:
+        env = GymnasiumEnv(env_id, seed=random_seed)
+        if env.n_actions is not None:
+            model = DiscreteMLP(int(np.prod(env.obs_shape)), env.n_actions)
+            distance_fn = distances.categorical_tvd
+        else:
+            model = GaussianMLP(int(np.prod(env.obs_shape)), int(np.prod(env.action_space.shape)))
+            distance_fn = distances.gaussian_wasserstein_from_strategies
+    return env, model, distance_fn

@@ -1,0 +1,168 @@
+"""Elastic control plane: wire codec round-trips, server/client protocol,
+and a live end-to-end distributed training smoke test (server + client
+threads in-process over localhost, like the reference's de-facto harness)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from dfd_tpu.distributed import FDClient, FDServer
+from dfd_tpu.distributed import wire
+from dfd_tpu.fd.returns import FDReturn, FDState
+
+
+def _state(epoch=0, experiment="exp1", cfg=None):
+    return FDState(
+        strategy_frames=np.random.RandomState(0).rand(4, 2).astype(np.float32),
+        strategy_history=np.random.RandomState(1).rand(3, 4, 9).astype(np.float32),
+        policy_params=np.random.RandomState(2).rand(100).astype(np.float32),
+        epoch=epoch,
+        experiment_id=experiment,
+        obs_stats=[0.0] * 5,
+        cfg=cfg or {"env_id": "SimpleTrapEnv-v0", "random_seed": 7},
+    )
+
+
+def test_wire_state_roundtrip():
+    s = _state()
+    d = wire.decode_state(wire.encode_state(s), cfg=s.cfg)
+    np.testing.assert_array_equal(d.policy_params, s.policy_params)
+    np.testing.assert_array_equal(d.strategy_frames, s.strategy_frames)
+    np.testing.assert_array_equal(d.strategy_history, s.strategy_history)
+    assert d.epoch == s.epoch and d.experiment_id == s.experiment_id
+    assert d.obs_stats == s.obs_stats
+
+
+def test_wire_returns_roundtrip():
+    rets = [
+        FDReturn(epoch=3, encoded_noise="123,456", reward=1.5, novelty=0.2, entropy=0.8, timesteps=201),
+        FDReturn(epoch=3, encoded_noise="0", reward=-2.0, is_eval=True,
+                 eval_states=np.random.RandomState(3).rand(5, 2).astype(np.float32),
+                 obs_stats_update=[1.0, 2.0, 3.0]),
+    ]
+    out = wire.decode_returns(wire.encode_returns(rets))
+    assert out[0].encoded_noise == "123,456" and out[0].reward == 1.5 and not out[0].is_eval
+    assert out[1].is_eval and out[1].obs_stats_update == [1.0, 2.0, 3.0]
+    np.testing.assert_array_equal(out[1].eval_states, rets[1].eval_states)
+
+
+def test_server_client_protocol():
+    server = FDServer(_state(epoch=0))
+    port = server.start(port=0)
+    try:
+        client = FDClient()
+        client.connect(port=port)
+
+        # first contact: NEW_EXPERIMENT (config fetched, seed minted)
+        assert client.get_server_state() == FDClient.NEW_EXPERIMENT_FLAG
+        assert client.current_state.cfg["env_id"] == "SimpleTrapEnv-v0"
+        seed1 = client.current_state.cfg["random_seed"]
+
+        # second client gets a distinct seed (elastic membership mechanism)
+        client2 = FDClient()
+        client2.connect(port=port)
+        assert client2.get_server_state() == FDClient.NEW_EXPERIMENT_FLAG
+        assert client2.current_state.cfg["random_seed"] == seed1 + 1
+
+        # no change -> OPERATION_SUCCESSFUL
+        assert client.get_server_state() == FDClient.OPERATION_SUCCESSFUL_FLAG
+
+        # epoch bump -> NEW_STATE
+        server.update(_state(epoch=1))
+        assert client.get_server_state() == FDClient.NEW_STATE_FLAG
+        assert client.current_state.epoch == 1
+
+        # returns flow in and come back LIFO with staleness classification
+        client.submit_returns(
+            [
+                FDReturn(epoch=1, encoded_noise="a", reward=1.0, timesteps=10),
+                FDReturn(epoch=0, encoded_noise="b", reward=2.0, timesteps=10),
+                FDReturn(epoch=1, encoded_noise="c", reward=3.0, timesteps=10, is_eval=True),
+            ]
+        )
+        rets, ts, n_delayed, n_discarded = server.get_returns_batch(
+            batch_size=2, current_epoch=1, max_delayed_return=5
+        )
+        assert ts == 30 and n_delayed == 1 and n_discarded == 0
+        assert len(rets) == 3  # 2 non-eval + eval rides along
+
+        # experiment change -> NEW_EXPERIMENT again
+        server.update(_state(epoch=1, experiment="exp2"))
+        assert client.get_server_state() == FDClient.NEW_EXPERIMENT_FLAG
+        client.disconnect()
+        client2.disconnect()
+    finally:
+        server.stop(grace=0)
+
+
+def test_discard_too_old_returns():
+    server = FDServer(_state(epoch=10))
+    port = server.start(port=0)
+    try:
+        client = FDClient()
+        client.connect(port=port)
+        # LIFO: submit newest first so the stale return is popped first
+        client.submit_returns(
+            [
+                FDReturn(epoch=10, encoded_noise="new", reward=0.0, timesteps=5),
+                FDReturn(epoch=1, encoded_noise="old", reward=0.0, timesteps=5),
+            ]
+        )
+        rets, ts, n_delayed, n_discarded = server.get_returns_batch(
+            batch_size=1, current_epoch=10, max_delayed_return=3
+        )
+        assert n_discarded == 1 and len(rets) == 1
+        client.disconnect()
+    finally:
+        server.stop(grace=0)
+
+
+def test_client_rpc_failure_flag():
+    client = FDClient()
+    client.connect(port=1)  # nothing listening
+    assert client.get_server_state() == FDClient.RPC_FAILED_FLAG
+
+
+def test_distributed_training_end_to_end():
+    """Server runner + elastic client thread actually train on the trap env."""
+    from dfd_tpu.runners.client import ClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0",
+        batch_size=4,
+        zeta_size=4,
+        max_strategy_history_size=4,
+        normalize_obs=False,
+        random_seed=11,
+        port=0,
+        reporter=reporter,
+        timestep_limit=10_000_000,
+    )
+
+    result = {}
+
+    def client_main():
+        # wait for the server to bind
+        for _ in range(100):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        runner = ClientRunner(port=server.bound_port, collect_window_s=0.001)
+        result["ok"] = runner.run(max_iterations=40)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=3), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=120)
+    assert not st.is_alive(), "server loop did not finish"
+    assert len(reporter.history) >= 1
+    row = reporter.history[0]
+    assert np.isfinite(row["Noisy Reward"])
+    assert "Delayed Ratio" in row and "Discarded Returns" in row
+    ct.join(timeout=30)
