@@ -1,0 +1,54 @@
+"""Host env wrappers.
+
+:class:`ImpalaObsWrapper` is the reference ImpalaEnvWrapper's role
+(reference utils/impala_env_wrapper.py:5-28): turn a pixel env's raw frames
+into the dict observations the IMPALA policy consumes — the frame in CHW
+float32 plus the *previous* step's reward and done flag (the wrapper returns
+the current transition's reward/done alongside its observation, which the
+policy sees on the next act call — same timing as the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_chw(frame: np.ndarray) -> np.ndarray:
+    f = np.asarray(frame, np.float32)
+    if f.ndim == 3 and f.shape[-1] in (1, 3, 4) and f.shape[0] not in (1, 3, 4):
+        f = np.transpose(f, (2, 0, 1))  # HWC -> CHW
+    return f
+
+
+class ImpalaObsWrapper:
+    def __init__(self, env):
+        self._env = env
+        self.action_space = getattr(env, "action_space", None)
+        self.observation_space = getattr(env, "observation_space", None)
+
+    @property
+    def n_actions(self):
+        return getattr(self._env, "n_actions", None) or getattr(self.action_space, "n", None)
+
+    def seed(self, seed):
+        if hasattr(self._env, "seed"):
+            self._env.seed(seed)
+
+    def reset(self):
+        obs = self._env.reset()
+        return self._format(obs, 0.0, False)
+
+    def step(self, action):
+        obs, rew, done, info = self._env.step(action)
+        return self._format(obs, rew, done), rew, done, info
+
+    def _format(self, obs, rew, done):
+        return {
+            "frame": _to_chw(obs),
+            "reward": np.float32(rew),
+            "done": bool(done),
+        }
+
+    def close(self):
+        if hasattr(self._env, "close"):
+            self._env.close()

@@ -57,6 +57,13 @@ class HostPolicy:
             lambda f, s, x: model.apply(model.set_flat(f, xp=jnp), s, x)
         )
         self._vbn = jax.jit(lambda f, s, x: model.vbn(model.set_flat(f, xp=jnp), s, x))
+        self._carry = model.initial_carry()
+        if model.recurrent:
+            self._step_probs = jax.jit(
+                lambda f, s, frame, rew, carry: model.step_probs(
+                    model.set_flat(f, xp=jnp), s, frame, rew, carry
+                )
+            )
 
     # -- reference-compatible surface --------------------------------------------
 
@@ -78,6 +85,16 @@ class HostPolicy:
         return self._apply(self.flat, self.bn_state, jnp.asarray(x))
 
     def get_action(self, obs, deterministic: bool = False):
+        if self.model.recurrent:
+            frame, reward, _done = self._unpack_obs(obs)
+            probs_j, self._carry = self._step_probs(
+                self.flat, self.bn_state, jnp.asarray(frame, jnp.float32),
+                jnp.float32(reward), self._carry,
+            )
+            probs = np.asarray(probs_j)
+            if deterministic:
+                return int(np.argmax(probs))
+            return self.sampler.sample_categorical(probs)
         out = self.forward(obs)
         if self.model.discrete:
             probs = np.asarray(out)[0]
@@ -91,11 +108,36 @@ class HostPolicy:
 
     def get_entropy(self, states) -> float:
         params = self.model.set_flat(self.flat, xp=jnp)
+        if self.model.recurrent:
+            frames, rewards = self._stack_dict_states(states)
+            probs = self.model.apply_seq(params, self.bn_state, frames, rewards)
+            from dfd_tpu.models.layers import categorical_entropy
+
+            return float(categorical_entropy(probs).mean())
         return float(self.model.entropy(params, self.bn_state, jnp.asarray(states)))
 
     def get_strategy(self, zeta) -> np.ndarray:
         params = self.model.set_flat(self.flat, xp=jnp)
+        if self.model.recurrent and len(zeta) > 0 and isinstance(zeta[0], dict):
+            frames, _ = self._stack_dict_states(zeta)
+            zeta = frames
         return np.asarray(self.model.strategy(params, self.bn_state, jnp.asarray(zeta)))
+
+    @staticmethod
+    def _unpack_obs(obs):
+        if isinstance(obs, dict):
+            return obs["frame"], float(obs["reward"]), bool(obs["done"])
+        return obs, 0.0, False
+
+    @staticmethod
+    def _stack_dict_states(states):
+        if len(states) > 0 and isinstance(states[0], dict):
+            frames = np.stack([np.asarray(s["frame"], np.float32) for s in states])
+            rewards = np.asarray([float(s["reward"]) for s in states], np.float32)
+        else:
+            frames = np.asarray(states, np.float32)
+            rewards = np.zeros(len(frames), np.float32)
+        return jnp.asarray(frames), jnp.asarray(rewards)
 
     def compute_vbn(self, buffer) -> None:
         self.bn_state = jax.device_get(self._vbn(self.flat, self.bn_state, jnp.asarray(buffer)))
@@ -112,3 +154,4 @@ class HostPolicy:
 
     def reset(self) -> None:
         """Reset per-episode recurrent state (no-op for feed-forward models)."""
+        self._carry = self.model.initial_carry()

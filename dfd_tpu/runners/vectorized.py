@@ -104,6 +104,9 @@ class VectorizedTrainer:
         )
 
         zeta = self._seed_zeta()
+        self._vbn_buffer = (
+            self._seed_buffer(cfg.vbn_buffer_size) if cfg.vbn_buffer_size > 0 else None
+        )
         self.state = TrainState(
             flat=flat,
             bn_state=jax.tree.map(jnp.asarray, bn_state),
@@ -117,18 +120,19 @@ class VectorizedTrainer:
             key=jax.random.key(cfg.random_seed),
         )
         self.cumulative_timesteps = 0
-        self._archive_shape = None  # set lazily; archive tensor is a jit input
 
-        self._step = jax.jit(self._epoch_step, static_argnums=())
+        self._step = jax.jit(self._epoch_step)
 
     # -- public ------------------------------------------------------------------
 
     def train(self, n_epochs: int) -> None:
+        """Reference-cadence training: one jitted step per epoch with the
+        strategy archive refreshed on host between epochs."""
         self.handler.add_policy(np.asarray(self.state.flat))
         for _ in range(n_epochs):
             t0 = time.perf_counter()
             archive, count = self._archive_inputs()
-            self.state, metrics, eval_states, eval_steps = self._step(self.state, archive, count)
+            self.state, metrics = self._step(self.state, archive, count)
             m = {k: float(v) for k, v in metrics.items()}
             self.cumulative_timesteps += int(m.pop("_timesteps"))
 
@@ -148,6 +152,51 @@ class VectorizedTrainer:
                 }
             )
             self.reporter.report(m)
+
+    def train_fast(self, n_epochs: int, sync_every: int = 10) -> None:
+        """Throughput mode: chunks of ``sync_every`` epochs are dispatched
+        back-to-back with zero host round-trips inside a chunk (epochs chain
+        through the state dependency; metrics are fetched after the chunk).
+
+        Within a chunk the novelty archive tensor is frozen (novelty is
+        computed against the archive as of the chunk start); archive
+        submission and the zeta re-evaluation happen at chunk boundaries.
+        Everything else — zeta refresh, omega, EMAs, obs stats, DSGD — is
+        identical to :meth:`train`.  (An in-graph lax.scan variant was
+        measured ~35x slower than chained dispatch under current XLA — the
+        nested scan defeats the rollout pipeline's parallelization.)
+        """
+        self.handler.add_policy(np.asarray(self.state.flat))
+        done = 0
+        while done < n_epochs:
+            n = min(sync_every, n_epochs - done)
+            t0 = time.perf_counter()
+            archive, count = self._archive_inputs()
+            per_epoch = []
+            for _ in range(n):
+                self.state, metrics = self._step(self.state, archive, count)
+                per_epoch.append(metrics)
+            jax.block_until_ready(self.state.flat)
+            chunk_time = time.perf_counter() - t0
+
+            any_eval = False
+            for j, metrics in enumerate(per_epoch):
+                m = {k: float(v) for k, v in metrics.items()}
+                self.cumulative_timesteps += int(m.pop("_timesteps"))
+                any_eval |= m.pop("_did_eval") > 0
+                m.update(
+                    {
+                        "Epoch": int(self.state.epoch) - n + 1 + j,
+                        "Epoch Time": chunk_time / n,
+                        "Cumulative Timesteps": self.cumulative_timesteps,
+                    }
+                )
+                self.reporter.report(m)
+
+            if any_eval:
+                self.handler.set_zeta(np.asarray(self.state.zeta))
+            self.handler.add_policy(np.asarray(self.state.flat))
+            done += n
 
     # -- jitted epoch ------------------------------------------------------------
 
@@ -178,21 +227,37 @@ class VectorizedTrainer:
             pop_flats = state.flat[None, :] + cfg.noise_std * eps
         pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
 
-        # 2. population rollout
+        # 2. population rollout (E episodes per member, averaged)
+        E = cfg.envs_per_perturbation
         roll_keys = jax.vmap(lambda i: jax.random.fold_in(roll_key, i))(member_ids)
-        result = fd_rollout.population_rollout(
-            model,
-            self.env,
-            pop_params,
-            state.bn_state,
-            roll_keys,
-            self.horizon,
-            obs_mean,
-            obs_std,
-            cfg.normalize_obs,
-            cfg.obs_stats_update_chance,
-            collect_states=False,
-        )
+
+        def one_episode(params, k):
+            return fd_rollout.episode_rollout(
+                model, self.env, params, state.bn_state, k, self.horizon,
+                deterministic=jnp.asarray(False),
+                obs_mean=obs_mean, obs_std=obs_std,
+                normalize_obs=cfg.normalize_obs,
+                obs_stats_update_chance=cfg.obs_stats_update_chance,
+                collect_states=False,
+            )
+
+        if E == 1:
+            result = jax.vmap(one_episode)(pop_params, roll_keys)
+        else:
+            def member_rollout(params, key):
+                eps_results = jax.vmap(lambda k: one_episode(params, k))(
+                    jax.random.split(key, E)
+                )
+                stats = welford.jnp_merge_population(eps_results.obs_stats)
+                return fd_rollout.RolloutResult(
+                    reward=eps_results.reward.mean(),
+                    entropy=eps_results.entropy.mean(),
+                    steps=eps_results.steps.sum(),
+                    obs_stats=stats,
+                    states=None,
+                )
+
+            result = jax.vmap(member_rollout)(pop_params, roll_keys)
 
         # 3. novelty of each perturbed policy vs the archive
         novelty = self._batch_novelty(pop_params, state, archive, archive_count)
@@ -249,6 +314,13 @@ class VectorizedTrainer:
         new_flat = dsgd_update(state.flat, -gradient, lr_scale, self.dsgd_hp)
         update_size = jnp.sqrt(jnp.sum((new_flat - state.flat) ** 2))
 
+        # VBN: refresh BatchNorm running stats at the updated parameters
+        bn_state = state.bn_state
+        if self._vbn_buffer is not None:
+            bn_state = model.vbn(
+                model.set_flat(new_flat, xp=jnp), state.bn_state, self._vbn_buffer
+            )
+
         # 8. merge sampled observation statistics from the population
         obs_stats = state.obs_stats
         if cfg.normalize_obs:
@@ -258,7 +330,7 @@ class VectorizedTrainer:
 
         new_state = TrainState(
             flat=new_flat,
-            bn_state=state.bn_state,
+            bn_state=bn_state,
             omega=omega,
             obs_stats=obs_stats,
             zeta=zeta,
@@ -279,7 +351,7 @@ class VectorizedTrainer:
             "_timesteps": result.steps.sum() + eval_res.steps,
             "_did_eval": do_eval.astype(jnp.int32),
         }
-        return new_state, metrics, eval_res.states, eval_res.steps
+        return new_state, metrics
 
     # -- pieces ------------------------------------------------------------------
 
@@ -334,7 +406,10 @@ class VectorizedTrainer:
         return jnp.asarray(full), jnp.int32(count)
 
     def _seed_zeta(self) -> jnp.ndarray:
-        """Initial zeta from a random-action rollout (reference
+        return self._seed_buffer(self.cfg.zeta_size)
+
+    def _seed_buffer(self, n: int) -> jnp.ndarray:
+        """Observation buffer from a random-action rollout (reference
         run_sequential.py:198-213)."""
         env = self.env
         cfg = self.cfg
@@ -354,6 +429,6 @@ class VectorizedTrainer:
 
         k0, kr = jax.random.split(key)
         init = env.reset(kr)
-        keys = jax.random.split(k0, cfg.zeta_size)
-        _, zeta = jax.lax.scan(step, init, keys)
-        return zeta
+        keys = jax.random.split(k0, n)
+        _, buf = jax.lax.scan(step, init, keys)
+        return buf

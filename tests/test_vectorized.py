@@ -154,3 +154,17 @@ def test_trainer_metrics_vocabulary():
         "Update Magnitude", "Omega",
     ]:
         assert k in row, k
+
+
+def test_train_fast_matches_train_params():
+    """Chunked in-graph training gives identical parameters (the archive
+    freeze inside a chunk only affects novelty metrics, never dynamics)."""
+    a = _trainer(P=8)
+    b = _trainer(P=8)
+    a.train(6)
+    b.train_fast(6, sync_every=3)
+    np.testing.assert_array_equal(np.asarray(a.state.flat), np.asarray(b.state.flat))
+    assert a.cumulative_timesteps == b.cumulative_timesteps
+    ra = [r["Noisy Reward"] for r in a.reporter.history]
+    rb = [r["Noisy Reward"] for r in b.reporter.history]
+    np.testing.assert_allclose(ra, rb, rtol=1e-6)
