@@ -1,0 +1,198 @@
+"""Command-line entry points.
+
+The reference's entry points are three scripts plus a config example
+(run_sequential.py / run_server.py / run_client.py / main.py); here one CLI
+covers every topology:
+
+    python -m dfd_tpu train  --env SimpleTrapEnv-v0 --epochs 200 --batch-size 256
+    python -m dfd_tpu train  --topology sequential --env CartPole-v1 --epochs 50
+    python -m dfd_tpu server --env SimpleTrapEnv-v0 --port 1025
+    python -m dfd_tpu client --address learner-host --port 1025
+    python -m dfd_tpu sweep  --env SimpleTrapEnv-v0 --trials 10 --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--env", default="SimpleTrapEnv-v0")
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--noise-std", type=float, default=0.02)
+    p.add_argument("--batch-size", type=int, default=40)
+    p.add_argument("--zeta-size", type=int, default=64)
+    p.add_argument("--history-size", type=int, default=64)
+    p.add_argument("--normalize-obs", action="store_true")
+
+
+def cmd_train(args) -> int:
+    from dfd_tpu.config import TrainConfig
+    from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    if args.topology == "vectorized":
+        from dfd_tpu.runners import VectorizedTrainer
+        from dfd_tpu.utils.factory import get_vectorized_init_data
+
+        env, model, distance_fn = get_vectorized_init_data(args.env)
+        cfg = TrainConfig(
+            env_id=args.env,
+            learning_rate=args.lr,
+            noise_std=args.noise_std,
+            batch_size=args.batch_size,
+            zeta_size=args.zeta_size,
+            max_strategy_history_size=args.history_size,
+            random_seed=args.seed,
+            normalize_obs=args.normalize_obs,
+            noise_backend=args.noise_backend,
+        )
+        mesh = None
+        if args.mesh:
+            from dfd_tpu.parallel import make_pop_mesh
+
+            mesh = make_pop_mesh()
+        trainer = VectorizedTrainer(
+            model, env, distance_fn, cfg, mesh=mesh, reporter=EpochReporter(quiet=args.quiet)
+        )
+        if args.resume:
+            load_checkpoint(args.resume, trainer)
+        if args.fast:
+            trainer.train_fast(args.epochs, sync_every=args.sync_every)
+        else:
+            trainer.train(args.epochs)
+        if args.checkpoint:
+            save_checkpoint(args.checkpoint, trainer)
+        last = trainer.reporter.history[-1] if trainer.reporter.history else {}
+        print({k: last.get(k) for k in ("Epoch", "Policy Reward", "Noisy Reward")})
+        return 0
+
+    from dfd_tpu.runners import SequentialRunner
+    from dfd_tpu.utils.factory import get_init_data
+
+    env, model, distance_fn = get_init_data(args.env, args.seed)
+    runner = SequentialRunner(
+        model,
+        env,
+        distance_fn,
+        learning_rate=args.lr,
+        noise_std=args.noise_std,
+        batch_size=args.batch_size,
+        random_seed=args.seed,
+        zeta_size=args.zeta_size,
+        max_strategy_history_size=args.history_size,
+        normalize_obs=args.normalize_obs,
+        reporter=EpochReporter(quiet=args.quiet),
+    )
+    runner.train(args.epochs)
+    return 0
+
+
+def cmd_server(args) -> int:
+    from dfd_tpu.runners.server import ServerRunner
+
+    ServerRunner(
+        env_id=args.env,
+        learning_rate=args.lr,
+        noise_std=args.noise_std,
+        batch_size=args.batch_size,
+        random_seed=args.seed,
+        zeta_size=args.zeta_size,
+        max_strategy_history_size=args.history_size,
+        normalize_obs=args.normalize_obs,
+        address=args.address,
+        port=args.port,
+        timestep_limit=args.timestep_limit,
+    ).train()
+    return 0
+
+
+def cmd_client(args) -> int:
+    from dfd_tpu.runners.client import ClientRunner
+
+    ok = ClientRunner(address=args.address, port=args.port).run()
+    return 0 if ok else 1
+
+
+def cmd_sweep(args) -> int:
+    from dfd_tpu.config import TrainConfig
+    from dfd_tpu.runners import VectorizedTrainer
+    from dfd_tpu.utils.factory import get_vectorized_init_data
+    from dfd_tpu.utils.metrics import EpochReporter
+    from dfd_tpu.utils.sweep import random_search
+
+    def run_trial(params):
+        env, model, distance_fn = get_vectorized_init_data(args.env)
+        cfg = TrainConfig(
+            env_id=args.env,
+            learning_rate=params["learning_rate"],
+            noise_std=params["noise_std"],
+            batch_size=int(params["batch_size"]),
+            zeta_size=args.zeta_size,
+            max_strategy_history_size=args.history_size,
+            random_seed=args.seed,
+        )
+        trainer = VectorizedTrainer(
+            model, env, distance_fn, cfg, reporter=EpochReporter(quiet=True)
+        )
+        trainer.train_fast(args.epochs)
+        return trainer.reporter.history
+
+    result = random_search(run_trial, n_trials=args.trials, seed=args.seed)
+    print("best:", result.best.params, "score:", result.best.score)
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="dfd_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a policy")
+    _add_common(p)
+    p.add_argument("--topology", choices=["vectorized", "sequential"], default="vectorized")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--fast", action="store_true", help="chunked dispatch (no per-epoch host sync)")
+    p.add_argument("--sync-every", type=int, default=10)
+    p.add_argument("--mesh", action="store_true", help="shard the population over all devices")
+    p.add_argument("--noise-backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("server", help="elastic distributed learner")
+    _add_common(p)
+    p.add_argument("--address", default="localhost")
+    p.add_argument("--port", type=int, default=1025)
+    p.add_argument("--timestep-limit", type=int, default=50_000_000)
+    p.set_defaults(fn=cmd_server)
+
+    p = sub.add_parser("client", help="elastic worker")
+    p.add_argument("--address", default="localhost")
+    p.add_argument("--port", type=int, default=1025)
+    p.set_defaults(fn=cmd_client)
+
+    p = sub.add_parser("sweep", help="random hyperparameter search")
+    _add_common(p)
+    p.add_argument("--trials", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=30)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from dfd_tpu.core import welford
 from dfd_tpu.envs.base import JaxEnv
-from dfd_tpu.models import layers
 from dfd_tpu.models.base import PolicyModel
 
 

@@ -18,7 +18,7 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from dfd_tpu.core.flat import FlatSpec, flatten, unflatten, update_from_flat
+from dfd_tpu.core.flat import FlatSpec, flatten, unflatten
 
 Params = Dict[str, Any]
 State = Dict[str, Any]

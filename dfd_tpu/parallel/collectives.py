@@ -10,8 +10,6 @@ rolling-out), and (c) as the cross-host-correctness test target.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

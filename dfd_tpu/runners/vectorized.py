@@ -26,7 +26,6 @@ replicated; cross-chip traffic is the O(d) psum of the combine.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -35,6 +35,18 @@ def make_jax_env(env_id: str):
     return JAX_ENVS[env_id]()
 
 
+def get_vectorized_init_data(env_id: str) -> Tuple[object, object, object]:
+    """(raw JaxEnv, policy model, distance fn) for the vectorized trainer."""
+    jax_env = make_jax_env(env_id)
+    if jax_env.discrete:
+        model = DiscreteMLP(jax_env.obs_dim, jax_env.n_actions)
+        distance_fn = distances.categorical_tvd
+    else:
+        model = GaussianMLP(jax_env.obs_dim, jax_env.action_dim)
+        distance_fn = distances.gaussian_wasserstein_from_strategies
+    return jax_env, model, distance_fn
+
+
 def get_init_data(env_id: str, random_seed: int) -> Tuple[object, object, object]:
     """(host-surface env, policy model, strategy distance fn) for ``env_id``."""
     if env_id in JAX_ENVS:

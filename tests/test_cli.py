@@ -1,0 +1,54 @@
+"""CLI entry points (python -m dfd_tpu)."""
+
+import numpy as np
+
+from dfd_tpu.__main__ import main
+
+
+def test_cli_train_vectorized(tmp_path, capsys):
+    ckpt = str(tmp_path / "c.npz")
+    rc = main(
+        [
+            "train", "--env", "SimpleTrapEnv-v0", "--epochs", "2",
+            "--batch-size", "4", "--zeta-size", "8", "--history-size", "4",
+            "--quiet", "--checkpoint", ckpt,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Noisy Reward" in out
+    import os
+
+    assert os.path.exists(ckpt)
+
+
+def test_cli_train_resume(tmp_path, capsys):
+    ckpt = str(tmp_path / "c.npz")
+    main(["train", "--env", "SimpleTrapEnv-v0", "--epochs", "1", "--batch-size", "4",
+          "--zeta-size", "8", "--history-size", "4", "--quiet", "--checkpoint", ckpt])
+    rc = main(["train", "--env", "SimpleTrapEnv-v0", "--epochs", "1", "--batch-size", "4",
+               "--zeta-size", "8", "--history-size", "4", "--quiet", "--resume", ckpt])
+    assert rc == 0
+    assert "'Epoch': 2" in capsys.readouterr().out
+
+
+def test_cli_train_sequential(capsys):
+    rc = main(
+        [
+            "train", "--topology", "sequential", "--env", "SimpleTrapEnv-v0",
+            "--epochs", "1", "--batch-size", "3", "--zeta-size", "6",
+            "--history-size", "4", "--quiet",
+        ]
+    )
+    assert rc == 0
+
+
+def test_cli_sweep(capsys):
+    rc = main(
+        [
+            "sweep", "--env", "SimpleTrapEnv-v0", "--trials", "2", "--epochs", "2",
+            "--batch-size", "4", "--zeta-size", "8", "--history-size", "4",
+        ]
+    )
+    assert rc == 0
+    assert "best:" in capsys.readouterr().out
