@@ -306,11 +306,14 @@ class VectorizedTrainer:
             )
         else:
             gradient = fd_combine.combine_gradient(eps, fitness, cfg.noise_std)
-        lr_scale = lr_scale_from_omega(
-            omega.omega, cfg.omega.min_value, cfg.omega.max_value,
-            cfg.dsgd_min_scale, cfg.dsgd_max_scale,
-        )
-        new_flat = dsgd_update(state.flat, -gradient, lr_scale, self.dsgd_hp)
+        if cfg.optimizer == "dsgd":
+            lr_scale = lr_scale_from_omega(
+                omega.omega, cfg.omega.min_value, cfg.omega.max_value,
+                cfg.dsgd_min_scale, cfg.dsgd_max_scale,
+            )
+            new_flat = dsgd_update(state.flat, -gradient, lr_scale, self.dsgd_hp)
+        else:  # plain SGD on grad = -g (net ascent), reference opt_fn alternative
+            new_flat = state.flat + cfg.learning_rate * gradient
         update_size = jnp.sqrt(jnp.sum((new_flat - state.flat) ** 2))
 
         # VBN: refresh BatchNorm running stats at the updated parameters

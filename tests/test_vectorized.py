@@ -168,3 +168,11 @@ def test_train_fast_matches_train_params():
     ra = [r["Noisy Reward"] for r in a.reporter.history]
     rb = [r["Noisy Reward"] for r in b.reporter.history]
     np.testing.assert_allclose(ra, rb, rtol=1e-6)
+
+
+def test_trainer_sgd_optimizer():
+    tr = _trainer(P=8, optimizer="sgd")
+    flat0 = np.asarray(tr.state.flat).copy()
+    tr.train(2)
+    assert not np.allclose(np.asarray(tr.state.flat), flat0)
+    assert all(np.isfinite(r["Update Magnitude"]) for r in tr.reporter.history)
