@@ -29,11 +29,22 @@ class PixelGridState(NamedTuple):
 class PixelGridEnv(JaxEnv):
     n_actions = 5
 
-    def __init__(self, grid: int = 8, scale: int = 8, channels: int = 3, max_steps: int = 40):
+    def __init__(
+        self,
+        grid: int = 8,
+        scale: int = 8,
+        channels: int = 3,
+        max_steps: int = 40,
+        intensity: float = 255.0,
+    ):
+        """``intensity``: pixel value of active cells.  IMPALA consumes raw
+        0-255 frames (it divides by 255 internally, like procgen); the Atari
+        CNN expects deepmind-style pre-scaled 0-1 frames — pass 1.0 for it."""
         self.grid = grid
         self.scale = scale
         self.channels = channels
         self.max_episode_steps = max_steps
+        self.intensity = float(intensity)
         self.obs_shape = (channels, grid * scale, grid * scale)
 
     def reset(self, key) -> Tuple[PixelGridState, jnp.ndarray]:
@@ -69,4 +80,4 @@ class PixelGridEnv(JaxEnv):
         planes = [agent_mask, goal_mask, border][: self.channels]
         while len(planes) < self.channels:
             planes.append(jnp.zeros_like(agent_mask))
-        return jnp.stack([255.0 * p.astype(jnp.float32) for p in planes])
+        return jnp.stack([self.intensity * p.astype(jnp.float32) for p in planes])

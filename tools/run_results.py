@@ -44,7 +44,7 @@ RUNS = {
         epochs=150,
     ),
     "pixelgrid_atari_cnn": dict(
-        env=PixelGridEnv(grid=6, scale=6, max_steps=24),
+        env=PixelGridEnv(grid=6, scale=6, max_steps=24, intensity=1.0),
         model=AtariCNN((36, 36), 5, in_channels=3), dist=distances.categorical_tvd,
         cfg=TrainConfig(batch_size=128, learning_rate=0.1, noise_std=0.1,
                         zeta_size=16, max_strategy_history_size=8, random_seed=0,
