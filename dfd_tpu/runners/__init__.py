@@ -1,5 +1,6 @@
 from dfd_tpu.runners.agent import Agent
 from dfd_tpu.runners.host_env import HostEnv
+from dfd_tpu.runners.host_evaluator import BatchedHostEvaluator
 from dfd_tpu.runners.policy import HostPolicy, NumpySampler
 from dfd_tpu.runners.sequential import SequentialRunner
 from dfd_tpu.runners.vectorized import TrainState, VectorizedTrainer
@@ -9,6 +10,7 @@ __all__ = [
     "Agent",
     "Worker",
     "HostEnv",
+    "BatchedHostEvaluator",
     "HostPolicy",
     "NumpySampler",
     "SequentialRunner",

@@ -1,0 +1,118 @@
+"""Batched host-env population evaluator — the hybrid hot path for
+environments whose engines cannot be traced into XLA (MuJoCo, Atari,
+procgen).
+
+The reference's answer to slow host envs is many single-threaded CPU client
+processes, each running batch-1 policy forwards (reference run_client.py:15,
+worker/agent.py:43).  Here one process evaluates a whole population of
+perturbations against N host envs in lockstep:
+
+  host envs  --obs batch-->  device: vmapped perturbed forward + sampling
+     ^                                        |
+     +----------------- actions --------------+
+
+One device call and one batched env step per timestep, for the entire
+population — policy compute rides the MXU at population batch size, host
+stepping rides the native thread pool (envs/native_pool.py) or any
+vector-env backend with ``reset_all()/step(actions)``.
+
+Results come back as FDReturns carrying counter-noise encodings, so this
+evaluator drops into the elastic client topology as a high-throughput
+worker: a "fat client" contributing a whole population shard per window.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.core.noise import CounterNoise
+from dfd_tpu.fd.returns import FDReturn
+from dfd_tpu.models import layers
+from dfd_tpu.models.base import PolicyModel
+
+
+class BatchedHostEvaluator:
+    def __init__(self, model: PolicyModel, vector_env, noise: CounterNoise, sigma: float,
+                 normalize_obs: bool = False):
+        if model.recurrent:
+            raise NotImplementedError("recurrent host evaluation: use the sequential worker")
+        self.model = model
+        self.env = vector_env
+        self.noise = noise
+        self.sigma = sigma
+        self.normalize_obs = normalize_obs
+        self.n = vector_env.n_envs
+
+        def act(pop_flats, bn_state, obs, key, obs_mean, obs_std):
+            obs = jnp.asarray(obs, jnp.float32)
+            if self.normalize_obs:
+                obs = jnp.clip((obs - obs_mean) / obs_std, -10, 10)
+
+            def one(flat, o, k):
+                params = model.set_flat(flat, xp=jnp)
+                if model.discrete:
+                    probs = model.apply(params, bn_state, o)[0]
+                    a = jax.random.categorical(k, jnp.log(jnp.maximum(probs, 1e-38)))
+                    return a.astype(jnp.int32), layers.categorical_entropy(probs)
+                mean, std = model.apply(params, bn_state, o)
+                mean, std = mean[0], std[0]
+                a = mean + std * jax.random.normal(k, mean.shape)
+                return a, layers.gaussian_entropy(std).sum()
+
+            keys = jax.random.split(key, obs.shape[0])
+            return jax.vmap(one)(pop_flats, obs, keys)
+
+        self._act = jax.jit(act)
+        self._perturb = jax.jit(
+            lambda flat, epoch: flat[None, :]
+            + sigma * jax.vmap(lambda i: noise.generate(epoch, i))(jnp.arange(self.n))
+        )
+
+    def evaluate_population(
+        self,
+        flat: np.ndarray,
+        bn_state,
+        epoch: int,
+        horizon: int,
+        key,
+        obs_mean: Optional[np.ndarray] = None,
+        obs_std: Optional[np.ndarray] = None,
+    ) -> List[FDReturn]:
+        """One episode per population member (member i <-> env i), lockstep."""
+        n = self.n
+        pop_flats = self._perturb(jnp.asarray(flat, jnp.float32), epoch)
+        obs = self.env.reset_all()
+        obs_mean = jnp.zeros(obs.shape[1:]) if obs_mean is None else jnp.asarray(obs_mean)
+        obs_std = jnp.ones(obs.shape[1:]) if obs_std is None else jnp.asarray(obs_std)
+
+        rewards = np.zeros(n, np.float64)
+        ent_sum = np.zeros(n, np.float64)
+        steps = np.zeros(n, np.int64)
+        alive = np.ones(n, bool)
+
+        for t in range(horizon):
+            key, sub = jax.random.split(key)
+            actions, entropies = self._act(pop_flats, bn_state, obs, sub, obs_mean, obs_std)
+            obs, rew, done = self.env.step(np.asarray(actions))
+            rewards[alive] += rew[alive]
+            ent_sum[alive] += np.asarray(entropies)[alive]
+            steps[alive] += 1
+            alive &= ~np.asarray(done)
+            if not alive.any():
+                break
+
+        out = []
+        for i in range(n):
+            r = FDReturn(
+                epoch=epoch,
+                encoded_noise="{},{}".format(epoch, i),
+                reward=float(rewards[i]),
+                entropy=float(ent_sum[i] / max(int(steps[i]), 1)),
+                timesteps=int(steps[i]),
+            )
+            out.append(r)
+        return out

@@ -210,23 +210,6 @@ class VectorizedTrainer:
 
         obs_mean, obs_std = welford.jnp_mean_std(state.obs_stats)
 
-        # 1. perturb: theta_i = theta + sigma * eps_i  (eps from counter ids)
-        if cfg.noise_backend == "pallas":
-            from dfd_tpu.ops.perturb import pallas_perturb
-
-            pop_flats, noise_ssq = pallas_perturb(
-                state.flat, cfg.noise_std, cfg.random_seed, state.epoch, P
-            )
-            pop_flats = self._shard_pop(pop_flats)
-            eps = None
-        else:
-            eps = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(member_ids)
-            eps = self._shard_pop(eps)
-            noise_ssq = None
-            pop_flats = state.flat[None, :] + cfg.noise_std * eps
-        pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
-
-        # 2. population rollout (E episodes per member, averaged)
         E = cfg.envs_per_perturbation
         roll_keys = jax.vmap(lambda i: jax.random.fold_in(roll_key, i))(member_ids)
 
@@ -240,26 +223,73 @@ class VectorizedTrainer:
                 collect_states=False,
             )
 
-        if E == 1:
-            result = jax.vmap(one_episode)(pop_params, roll_keys)
+        chunked = bool(cfg.population_chunk) and cfg.population_chunk < P
+        if chunked:
+            # 1-3 fused, memory-bounded: lax.map over population chunks; the
+            # noise, perturbed parameters, rollout state and novelty of only
+            # one chunk are ever live (~C x d instead of P x d) — the
+            # big-model escape hatch (SURVEY.md section 7 hard part 7).
+            # Combine later regenerates noise chunk-by-chunk the same way.
+            C = cfg.population_chunk
+            assert P % C == 0, "population_chunk must divide batch_size"
+            assert E == 1, "population_chunk requires envs_per_perturbation=1"
+            assert cfg.noise_backend != "pallas", "pallas backend is already memory-bounded"
+
+            ids_c = member_ids.reshape(P // C, C)
+            keys_c = roll_keys.reshape(P // C, C)
+
+            def eval_chunk(args):
+                ids, ks = args
+                eps_c = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(ids)
+                flats_c = state.flat[None, :] + cfg.noise_std * eps_c
+                params_c = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(flats_c)
+                res = jax.vmap(one_episode)(params_c, ks)
+                nov = self._batch_novelty(params_c, state, archive, archive_count)
+                return res, nov
+
+            result, novelty = jax.lax.map(eval_chunk, (ids_c, keys_c))
+            result = jax.tree.map(lambda x: x.reshape((P,) + x.shape[2:]), result)
+            novelty = novelty.reshape(P)
+            eps = None
+            noise_ssq = None
         else:
-            def member_rollout(params, key):
-                eps_results = jax.vmap(lambda k: one_episode(params, k))(
-                    jax.random.split(key, E)
-                )
-                stats = welford.jnp_merge_population(eps_results.obs_stats)
-                return fd_rollout.RolloutResult(
-                    reward=eps_results.reward.mean(),
-                    entropy=eps_results.entropy.mean(),
-                    steps=eps_results.steps.sum(),
-                    obs_stats=stats,
-                    states=None,
-                )
+            # 1. perturb: theta_i = theta + sigma * eps_i (eps from counter ids)
+            if cfg.noise_backend == "pallas":
+                from dfd_tpu.ops.perturb import pallas_perturb
 
-            result = jax.vmap(member_rollout)(pop_params, roll_keys)
+                pop_flats, noise_ssq = pallas_perturb(
+                    state.flat, cfg.noise_std, cfg.random_seed, state.epoch, P
+                )
+                pop_flats = self._shard_pop(pop_flats)
+                eps = None
+            else:
+                eps = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(member_ids)
+                eps = self._shard_pop(eps)
+                noise_ssq = None
+                pop_flats = state.flat[None, :] + cfg.noise_std * eps
+            pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
 
-        # 3. novelty of each perturbed policy vs the archive
-        novelty = self._batch_novelty(pop_params, state, archive, archive_count)
+            # 2. population rollout (E episodes per member, averaged)
+            if E == 1:
+                result = jax.vmap(one_episode)(pop_params, roll_keys)
+            else:
+                def member_rollout(params, key):
+                    eps_results = jax.vmap(lambda k: one_episode(params, k))(
+                        jax.random.split(key, E)
+                    )
+                    stats = welford.jnp_merge_population(eps_results.obs_stats)
+                    return fd_rollout.RolloutResult(
+                        reward=eps_results.reward.mean(),
+                        entropy=eps_results.entropy.mean(),
+                        steps=eps_results.steps.sum(),
+                        obs_stats=stats,
+                        states=None,
+                    )
+
+                result = jax.vmap(member_rollout)(pop_params, roll_keys)
+
+            # 3. novelty of each perturbed policy vs the archive
+            novelty = self._batch_novelty(pop_params, state, archive, archive_count)
 
         # 4. eval rollout (unperturbed, deterministic) every eval_every epochs
         do_eval = (state.epoch % cfg.eval_every) == 0
@@ -297,7 +327,12 @@ class VectorizedTrainer:
 
         # 7. fitness -> combine -> DSGD
         fitness = fd_combine.fitness_from_rewards(result.reward, policy_reward, tie_key)
-        if cfg.noise_backend == "pallas":
+        if chunked:
+            gradient = fd_combine.combine_gradient_chunked(
+                self.noise, state.epoch, member_ids, fitness, cfg.noise_std,
+                chunk=cfg.population_chunk,
+            )
+        elif cfg.noise_backend == "pallas":
             from dfd_tpu.ops.perturb import pallas_combine
 
             coefs = fitness / (cfg.noise_std * jnp.maximum(noise_ssq, 1e-30))

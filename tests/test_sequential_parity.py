@@ -195,3 +195,63 @@ def test_sequential_runner_learns_on_trap_env():
     first = np.mean([h["Noisy Reward"] for h in hist[:3]])
     last = np.mean([h["Noisy Reward"] for h in hist[-3:]])
     assert last > first, (first, last)
+
+
+def test_sequential_parity_with_obs_normalization():
+    """The normalize_obs path adds per-step RNG draws (stats sampling) and
+    fixed mean/std normalization — the distributed default.  Verifies the
+    draw sequences and normalization arithmetic stay aligned with the
+    reference over one epoch."""
+    import torch
+
+    from dfd_tpu.parity import TorchSampler, reference_init_flat
+
+    ref = load_reference()
+    seed = 123
+
+    # oracle components with normalize_obs=True
+    torch.manual_seed(seed)
+    their_policy = ref.DiscretePolicy(2, 9, seed=seed)
+    their_env = make_trap_env()
+    their_agent = ref.Agent(their_policy, their_env, seed, normalize_obs=True,
+                            obs_stats_update_chance=0.2)
+    their_noise = RNGNoiseSource(their_policy.num_params, random_seed=seed)
+    their_handler = ref.StrategyHandler(their_policy, ref.math_helpers.categorical_tvd, 10)
+    their_worker = ref.Worker(their_policy, their_agent, their_noise, their_handler,
+                              sigma=0.02, random_seed=seed, eval_prob=0.05)
+    # give the worker non-trivial fixed stats, as the server broadcast would
+    stats_src = np.random.RandomState(0).randn(50, 2)
+    for x in stats_src:
+        their_worker.fixed_obs_stats.update(x)
+
+    # ours
+    model = DiscreteMLP(2, 9)
+    torch.manual_seed(seed)
+    flat = reference_init_flat(model, seed)
+    sampler = TorchSampler()
+    from dfd_tpu.runners import Agent as OurAgent, Worker as OurWorker
+    from dfd_tpu.runners.policy import HostPolicy
+    from dfd_tpu.novelty import StrategyHandler as OurHandler
+
+    policy = HostPolicy(model, flat=flat, sampler=sampler)
+    env = HostEnv(TrapEnv(), seed=seed)
+    agent = OurAgent(policy, env, seed, normalize_obs=True, obs_stats_update_chance=0.2)
+    handler = OurHandler(model, policy.bn_state, distances.categorical_tvd, 10)
+    worker = OurWorker(policy, agent, RNGNoiseSource(model.num_params, random_seed=seed),
+                       handler, sigma=0.02, random_seed=seed, eval_prob=0.05)
+    for x in stats_src:
+        worker.fixed_obs_stats.update(x)
+
+    their_worker.epoch = 0
+    worker.epoch = 0
+    for i in range(8):
+        their_ret = their_worker.collect_returns()[0]
+        our_ret = worker.collect_returns()[0]
+        assert their_ret.is_eval == our_ret.is_eval
+        assert their_ret.reward == our_ret.reward, i
+        # local Welford deltas must merge identically
+        np.testing.assert_allclose(
+            np.asarray(our_ret.obs_stats_update, np.float64),
+            np.asarray(their_ret.obs_stats_update, np.float64),
+            atol=1e-6,
+        )

@@ -176,3 +176,21 @@ def test_trainer_sgd_optimizer():
     tr.train(2)
     assert not np.allclose(np.asarray(tr.state.flat), flat0)
     assert all(np.isfinite(r["Update Magnitude"]) for r in tr.reporter.history)
+
+
+def test_population_chunking_matches_dense():
+    """Chunked evaluation (memory-bounded) must give identical training to
+    the dense path — same noise, same rollouts, same combine."""
+    dense = _trainer(P=8)
+    chunked = _trainer(P=8, population_chunk=4)
+    dense.train(3)
+    chunked.train(3)
+    np.testing.assert_allclose(
+        np.asarray(chunked.state.flat), np.asarray(dense.state.flat), rtol=1e-5, atol=1e-6
+    )
+    r1 = [r["Noisy Reward"] for r in dense.reporter.history]
+    r2 = [r["Noisy Reward"] for r in chunked.reporter.history]
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    n1 = [r["Noisy Novelty"] for r in dense.reporter.history]
+    n2 = [r["Noisy Novelty"] for r in chunked.reporter.history]
+    np.testing.assert_allclose(n1, n2, rtol=1e-4, atol=1e-6)
