@@ -110,7 +110,10 @@ def load_checkpoint(path: str, trainer) -> None:
     trainer.cumulative_timesteps = int(arrays["cumulative_timesteps"])
 
     # rebuild the strategy archive from snapshot flats
-    handler = trainer.handler
+    _restore_archive(trainer.handler, arrays, meta, np.asarray(s.zeta))
+
+
+def _restore_archive(handler, arrays, meta, zeta) -> None:
     handler.archive.points = []
     handler.archive.strategy_tensor = []
     handler.archive.known_dists = {}
@@ -120,4 +123,157 @@ def load_checkpoint(path: str, trainer) -> None:
         for flat in arrays["archive.flats"]:
             handler.archive.submit(flat)
     if meta["has_zeta"]:
-        handler.set_zeta(np.asarray(s.zeta))
+        handler.set_zeta(zeta)
+
+
+# ---------------------------------------------------------------------------
+# Host-topology (sequential / server runner) checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_host_checkpoint(path: str, runner) -> None:
+    """Persist a SequentialRunner/ServerRunner's training state: learner
+    (params, epoch, policy history for drift correction), omega, EMAs, zeta,
+    global observation statistics, and the strategy archive."""
+    learner = runner.learner
+    arrays: Dict[str, np.ndarray] = {
+        "flat": np.asarray(learner.flat, np.float32),
+        "epoch": np.asarray(learner.epoch),
+        "discarded": np.asarray(learner.discarded_returns),
+        "zeta": np.asarray(runner.zeta),
+        "omega.omega": np.asarray(runner.omega.omega, np.float64),
+        "omega.history": np.asarray(runner.omega.reward_history, np.float64),
+        "ema.reward": np.asarray(runner.policy_reward if runner.policy_reward is not None else np.nan),
+        "ema.entropy": np.asarray(runner.policy_entropy if runner.policy_entropy is not None else np.nan),
+        "ema.novelty": np.asarray(runner.policy_novelty if runner.policy_novelty is not None else np.nan),
+        "history.flats": np.stack([f for f, _ in learner.policy_history]),
+        "history.epochs": np.asarray([e for _, e in learner.policy_history]),
+    }
+    if hasattr(runner, "global_obs_stats"):
+        arrays["obs.serialized"] = np.asarray(runner.global_obs_stats.serialize(), np.float64)
+    archive_flats = [p.flat for p in runner.strategy_handler.archive.points]
+    if archive_flats:
+        arrays["archive.flats"] = np.stack(archive_flats)
+
+    # host RNG streams (exact resume for the sequential topology)
+    pcg = {}
+    for name, rs in _host_rngs(runner).items():
+        if isinstance(rs, np.random.RandomState):
+            kind, keys, pos, has_gauss, cached = rs.get_state()
+            arrays[f"rng.{name}.keys"] = np.asarray(keys)
+            arrays[f"rng.{name}.rest"] = np.asarray([pos, has_gauss, cached], np.float64)
+        elif hasattr(rs, "bit_generator"):
+            st = rs.bit_generator.state
+            pcg[name] = {
+                "state": str(st["state"]["state"]),
+                "inc": str(st["state"]["inc"]),
+                "has_uint32": int(st["has_uint32"]),
+                "uinteger": int(st["uinteger"]),
+            }
+
+    # episode continuity (agent position + env mid-state), sequential topology
+    agent = getattr(runner, "agent", None)
+    if agent is not None:
+        arrays["agent.last_obs"] = np.asarray(agent.last_obs)
+        arrays["agent.cumulative"] = np.asarray(agent.cumulative_timesteps)
+        env_state = getattr(agent.env, "_state", None)
+        if env_state is not None:
+            import jax
+
+            leaves = jax.tree.leaves(env_state)
+            for i, leaf in enumerate(leaves):
+                arrays[f"env.leaf{i}"] = np.asarray(leaf)
+
+    meta = {
+        "n_archive": len(archive_flats),
+        "has_zeta": runner.strategy_handler.zeta is not None,
+        "has_obs": hasattr(runner, "global_obs_stats"),
+        "pcg": pcg,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def _host_rngs(runner) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for name, obj in (
+        ("runner", getattr(runner, "rng", None)),
+        ("buffer", getattr(runner, "_buffer_rng", None)),
+        ("worker", getattr(getattr(runner, "worker", None), "rng", None)),
+        ("agent", getattr(getattr(runner, "agent", None), "rng", None)),
+        ("sampler", getattr(getattr(getattr(runner, "policy", None), "sampler", None), "rng", None)),
+        ("noise", getattr(getattr(runner, "learner", None), "noise_source", None)
+         and getattr(runner.learner.noise_source, "rng", None)),
+    ):
+        if obj is not None:
+            out[name] = obj
+    return out
+
+
+def load_host_checkpoint(path: str, runner) -> None:
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(str(arrays.pop("__meta__")))
+
+    learner = runner.learner
+    learner.flat = np.asarray(arrays["flat"], np.float32)
+    learner.epoch = int(arrays["epoch"])
+    learner.discarded_returns = int(arrays["discarded"])
+    learner.policy_history = [
+        (np.asarray(f, np.float32), int(e))
+        for f, e in zip(arrays["history.flats"], arrays["history.epochs"])
+    ]
+    learner._build_distance_map()
+    runner.policy.set_trainable_flat(learner.flat)
+
+    runner.omega.omega = float(arrays["omega.omega"])
+    runner.omega.reward_history = [float(v) for v in arrays["omega.history"]]
+    nan_to_none = lambda v: None if np.isnan(v) else float(v)
+    runner.policy_reward = nan_to_none(arrays["ema.reward"])
+    runner.policy_entropy = nan_to_none(arrays["ema.entropy"])
+    runner.policy_novelty = nan_to_none(arrays["ema.novelty"])
+    runner.zeta[:] = arrays["zeta"]
+    if meta["has_obs"] and "obs.serialized" in arrays:
+        runner.global_obs_stats.deserialize(list(arrays["obs.serialized"]))
+
+    for name, rs in _host_rngs(runner).items():
+        if isinstance(rs, np.random.RandomState) and f"rng.{name}.keys" in arrays:
+            pos, has_gauss, cached = arrays[f"rng.{name}.rest"]
+            rs.set_state(
+                ("MT19937", arrays[f"rng.{name}.keys"].astype(np.uint32), int(pos),
+                 int(has_gauss), float(cached))
+            )
+        elif hasattr(rs, "bit_generator") and name in meta["pcg"]:
+            saved = meta["pcg"][name]
+            st = rs.bit_generator.state
+            st["state"] = {"state": int(saved["state"]), "inc": int(saved["inc"])}
+            st["has_uint32"] = int(saved["has_uint32"])
+            st["uinteger"] = int(saved["uinteger"])
+            rs.bit_generator.state = st
+
+    # refresh the broadcast state so workers tag returns with the restored
+    # epoch (otherwise the drift correction treats them as stale)
+    state = getattr(runner, "current_state", None)
+    if state is not None:
+        state.epoch = learner.epoch
+        state.policy_params = runner.policy.serialize()
+    worker = getattr(runner, "worker", None)
+    if worker is not None and hasattr(worker, "epoch"):
+        worker.epoch = learner.epoch
+
+    agent = getattr(runner, "agent", None)
+    if agent is not None and "agent.last_obs" in arrays:
+        agent.last_obs = arrays["agent.last_obs"]
+        agent.cumulative_timesteps = int(arrays["agent.cumulative"])
+        env_state = getattr(agent.env, "_state", None)
+        if env_state is not None and "env.leaf0" in arrays:
+            import jax
+
+            treedef = jax.tree.structure(env_state)
+            n_leaves = treedef.num_leaves
+            leaves = [arrays[f"env.leaf{i}"] for i in range(n_leaves)]
+            agent.env._state = jax.tree.unflatten(treedef, leaves)
+
+    _restore_archive(runner.strategy_handler, arrays, meta, np.asarray(runner.zeta))

@@ -68,3 +68,63 @@ def test_checkpoint_file_is_atomic(tmp_path):
     save_checkpoint(path, a)  # overwrite in place
     assert os.path.exists(path)
     assert not os.path.exists(path + ".tmp")
+
+
+def _seq_runner():
+    from dfd_tpu.envs.trap import TrapEnv
+    from dfd_tpu.ops import distances
+    from dfd_tpu.runners import HostEnv, SequentialRunner
+
+    return SequentialRunner(
+        DiscreteMLP(2, 9), HostEnv(TrapEnv(), seed=0), distances.categorical_tvd,
+        learning_rate=0.05, noise_std=0.05, batch_size=4, random_seed=7,
+        zeta_size=10, max_strategy_history_size=10, eval_prob=0.2,
+        reporter=EpochReporter(quiet=True),
+    )
+
+
+def test_host_checkpoint_resume_is_exact(tmp_path):
+    from dfd_tpu.utils.checkpoint import load_host_checkpoint, save_host_checkpoint
+
+    path = os.path.join(tmp_path, "host.npz")
+    a = _seq_runner()
+    a.train(2)
+    save_host_checkpoint(path, a)
+    a.train(2)
+
+    b = _seq_runner()
+    load_host_checkpoint(path, b)
+    assert b.learner.epoch == 2
+    b.train(2)
+
+    np.testing.assert_array_equal(a.learner.flat, b.learner.flat)
+    ra = [r["Noisy Reward"] for r in a.reporter.history[-2:]]
+    rb = [r["Noisy Reward"] for r in b.reporter.history[-2:]]
+    assert ra == rb
+    assert a.agent.cumulative_timesteps == b.agent.cumulative_timesteps
+    assert a.omega.omega == b.omega.omega
+
+
+def test_host_checkpoint_server_runner(tmp_path):
+    """ServerRunner state round-trips (learner/omega/obs-stats/archive)."""
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.checkpoint import load_host_checkpoint, save_host_checkpoint
+
+    path = os.path.join(tmp_path, "server.npz")
+    a = ServerRunner(env_id="SimpleTrapEnv-v0", batch_size=4, zeta_size=4,
+                     max_strategy_history_size=4, normalize_obs=True, random_seed=5,
+                     port=0, reporter=EpochReporter(quiet=True))
+    a.global_obs_stats.update(np.array([0.3, 0.4]))
+    a.global_obs_stats.update(np.array([0.5, 0.6]))
+    a.learner.flat += 1.0
+    a.learner.epoch = 7
+    save_host_checkpoint(path, a)
+
+    b = ServerRunner(env_id="SimpleTrapEnv-v0", batch_size=4, zeta_size=4,
+                     max_strategy_history_size=4, normalize_obs=True, random_seed=5,
+                     port=0, reporter=EpochReporter(quiet=True))
+    load_host_checkpoint(path, b)
+    np.testing.assert_array_equal(b.learner.flat, a.learner.flat)
+    assert b.learner.epoch == 7
+    assert b.global_obs_stats.count == a.global_obs_stats.count
+    np.testing.assert_array_equal(b.global_obs_stats.mean, a.global_obs_stats.mean)
