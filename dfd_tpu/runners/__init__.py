@@ -1,5 +1,6 @@
 from dfd_tpu.runners.agent import Agent
 from dfd_tpu.runners.host_env import HostEnv
+from dfd_tpu.runners.fat_client import FatClientRunner
 from dfd_tpu.runners.host_evaluator import BatchedHostEvaluator
 from dfd_tpu.runners.policy import HostPolicy, NumpySampler
 from dfd_tpu.runners.sequential import SequentialRunner
@@ -11,6 +12,7 @@ __all__ = [
     "Worker",
     "HostEnv",
     "BatchedHostEvaluator",
+    "FatClientRunner",
     "HostPolicy",
     "NumpySampler",
     "SequentialRunner",

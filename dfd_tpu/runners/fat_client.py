@@ -1,0 +1,171 @@
+"""Fat elastic worker: one process contributing whole population shards.
+
+Where the reference scales host throughput by running many thin client
+*processes* (one env, batch-1 forwards each), a fat client packs the same
+work into one process: N host envs step in lockstep against device-batched
+perturbed forwards (runners/host_evaluator.py), and each collection window
+submits N returns at once.  Requires the server to run with
+``noise_kind="counter"`` so the member-id encodings decode server-side.
+
+Eval duties (deterministic episodes feeding zeta/EMA baselines) ride on a
+standard Agent over one extra env, triggered with the configured
+``eval_prob`` per window.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from dfd_tpu.core.noise import CounterNoise
+from dfd_tpu.core.welford import Welford
+from dfd_tpu.distributed.client import FDClient
+from dfd_tpu.fd.returns import FDReturn
+from dfd_tpu.runners.agent import Agent
+from dfd_tpu.runners.host_evaluator import BatchedHostEvaluator
+from dfd_tpu.runners.policy import HostPolicy
+from dfd_tpu.utils.factory import get_init_data
+
+
+def default_vector_env(env_id: str, n_envs: int, seed: int):
+    """Best vector backend for an env id: the native C++ pool for the trap
+    env when built, otherwise N python-looped host envs."""
+    if env_id == "SimpleTrapEnv-v0":
+        from dfd_tpu.envs.native_pool import NativeTrapPool, native_pool_available
+
+        if native_pool_available():
+            return NativeTrapPool(n_envs)
+    from dfd_tpu.envs.vector_host import PythonVectorEnv
+
+    def make(i):
+        env, _, _ = get_init_data(env_id, seed + i)
+        return env
+
+    return PythonVectorEnv(make, n_envs)
+
+
+class FatClientRunner:
+    def __init__(
+        self,
+        n_envs: int = 64,
+        address: str = "localhost",
+        port: int = 1025,
+        vector_env_factory: Optional[Callable] = None,
+    ):
+        self.n_envs = n_envs
+        self.address, self.port = address, port
+        self.client = FDClient()
+        self._vector_env_factory = vector_env_factory or default_vector_env
+        self.evaluator: Optional[BatchedHostEvaluator] = None
+        self.windows = 0
+
+    def run(self, max_windows: Optional[int] = None, reconnect_attempts: int = 60) -> bool:
+        client = self.client
+        client.connect(address=self.address, port=self.port)
+
+        status = client.get_server_state()
+        while status != FDClient.NEW_EXPERIMENT_FLAG:
+            if status == FDClient.RPC_FAILED_FLAG:
+                time.sleep(1)
+            else:
+                time.sleep(0.2)
+            status = client.get_server_state()
+        self._configure(client.current_state.cfg)
+        self._apply_state(client.current_state)
+
+        while max_windows is None or self.windows < max_windows:
+            self.windows += 1
+            returns = self._collect_window()
+            client.submit_returns(returns)
+
+            status = client.get_server_state()
+            if status == FDClient.NEW_STATE_FLAG:
+                self._apply_state(client.current_state)
+            elif status == FDClient.RPC_FAILED_FLAG:
+                recovered = False
+                for _ in range(reconnect_attempts):
+                    time.sleep(1)
+                    if client.get_server_state() != FDClient.RPC_FAILED_FLAG:
+                        recovered = True
+                        break
+                if not recovered:
+                    client.disconnect()
+                    return False
+                self._apply_state(client.current_state)
+            if status == FDClient.NEW_EXPERIMENT_FLAG:
+                self._configure(client.current_state.cfg)
+                self._apply_state(client.current_state)
+
+        client.disconnect()
+        return True
+
+    # -- internals ---------------------------------------------------------------
+
+    def _configure(self, cfg: dict) -> None:
+        if cfg.get("noise_kind") != "counter":
+            raise RuntimeError(
+                "fat clients need the server started with noise_kind='counter'"
+            )
+        env_id = cfg["env_id"]
+        seed = int(cfg["random_seed"])
+        self._seed = seed
+        self.rng = np.random.RandomState(seed)
+        self.eval_prob = float(cfg["eval_prob"])
+        sigma = float(cfg["noise_std"])
+        self.normalize_obs = bool(cfg["normalize_obs"])
+
+        eval_env, model, _dist = get_init_data(env_id, seed)
+        self.model = model
+        self.policy = HostPolicy(model, seed=seed)
+        # the SHARED base seed (never client-minted): all shards and the
+        # server must regenerate identical noise per (epoch, member id)
+        self.noise = CounterNoise(model.num_params, random_seed=int(cfg["noise_seed"]))
+        vec = self._vector_env_factory(env_id, self.n_envs, seed)
+        self.evaluator = BatchedHostEvaluator(
+            model, vec, self.noise, sigma, normalize_obs=self.normalize_obs
+        )
+        self.eval_agent = Agent(
+            self.policy, eval_env, seed, normalize_obs=self.normalize_obs,
+            obs_stats_update_chance=float(cfg["obs_stats_update_chance"]),
+        )
+        self.fixed_obs_stats = Welford(model.input_shape)
+        self.epoch = 0
+        self._key = jax.random.key(seed)
+        env_obj = self.eval_agent.env
+        self.horizon = getattr(getattr(env_obj, "env", env_obj), "max_episode_steps", 10000)
+
+    def _apply_state(self, state) -> None:
+        self.policy.deserialize(state.policy_params)
+        self.epoch = state.epoch
+        if state.obs_stats is not None:
+            self.fixed_obs_stats.deserialize(state.obs_stats)
+
+    def _collect_window(self):
+        self._key, sub = jax.random.split(self._key)
+        offset = ((self._seed * 2654435761) ^ (self.windows * 97)) & 0x3FFFFFFF
+        returns = self.evaluator.evaluate_population(
+            self.policy.get_trainable_flat(),
+            self.policy.bn_state,
+            epoch=self.epoch,
+            horizon=self.horizon,
+            key=sub,
+            obs_mean=self.fixed_obs_stats.mean if self.normalize_obs else None,
+            obs_std=self.fixed_obs_stats.std if self.normalize_obs else None,
+            id_offset=offset,
+        )
+        if self.rng.uniform(0, 1) < self.eval_prob:
+            rew, ent, steps = self.eval_agent.collect_return(
+                eval_run=True, save_states=True,
+                mean=self.fixed_obs_stats.mean, std=self.fixed_obs_stats.std,
+            )
+            ret = FDReturn(
+                epoch=self.epoch, encoded_noise="0", reward=rew, entropy=ent,
+                timesteps=steps, is_eval=True,
+                eval_states=[s for s in self.eval_agent.saved_states],
+                obs_stats_update=self.eval_agent.obs_stats.serialize(),
+            )
+            returns.append(ret)
+        return returns

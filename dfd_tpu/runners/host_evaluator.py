@@ -68,8 +68,9 @@ class BatchedHostEvaluator:
 
         self._act = jax.jit(act)
         self._perturb = jax.jit(
-            lambda flat, epoch: flat[None, :]
-            + sigma * jax.vmap(lambda i: noise.generate(epoch, i))(jnp.arange(self.n))
+            lambda flat, epoch, offset: flat[None, :]
+            + sigma
+            * jax.vmap(lambda i: noise.generate(epoch, i))(offset + jnp.arange(self.n))
         )
 
     def evaluate_population(
@@ -81,10 +82,13 @@ class BatchedHostEvaluator:
         key,
         obs_mean: Optional[np.ndarray] = None,
         obs_std: Optional[np.ndarray] = None,
+        id_offset: int = 0,
     ) -> List[FDReturn]:
-        """One episode per population member (member i <-> env i), lockstep."""
+        """One episode per population member (member ``id_offset + i`` <->
+        env i), lockstep.  ``id_offset`` keeps member ids globally unique
+        across elastic fat clients."""
         n = self.n
-        pop_flats = self._perturb(jnp.asarray(flat, jnp.float32), epoch)
+        pop_flats = self._perturb(jnp.asarray(flat, jnp.float32), epoch, id_offset)
         obs = self.env.reset_all()
         obs_mean = jnp.zeros(obs.shape[1:]) if obs_mean is None else jnp.asarray(obs_mean)
         obs_std = jnp.ones(obs.shape[1:]) if obs_std is None else jnp.asarray(obs_std)
@@ -109,7 +113,7 @@ class BatchedHostEvaluator:
         for i in range(n):
             r = FDReturn(
                 epoch=epoch,
-                encoded_noise="{},{}".format(epoch, i),
+                encoded_noise="{},{}".format(epoch, id_offset + i),
                 reward=float(rewards[i]),
                 entropy=float(ent_sum[i] / max(int(steps[i]), 1)),
                 timesteps=int(steps[i]),

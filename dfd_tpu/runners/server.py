@@ -54,8 +54,12 @@ class ServerRunner:
         omega_kwargs: Optional[dict] = None,
         address: str = "localhost",
         port: int = 1025,
+        noise_kind: str = "pcg",
         reporter: Optional[EpochReporter] = None,
     ):
+        """``noise_kind``: "pcg" = the reference's replayable PCG64 streams
+        (thin clients sample locally); "counter" = counter-keyed noise so
+        fat clients (BatchedHostEvaluator shards) encode members as ids."""
         self.rng = np.random.RandomState(random_seed)
         self._buffer_rng = np.random.RandomState(random_seed)
         self.batch_size = batch_size
@@ -74,7 +78,12 @@ class ServerRunner:
 
         self.env, self.model, distance_fn = get_init_data(env_id, random_seed)
         self.policy = HostPolicy(self.model, seed=random_seed)
-        noise_source = RNGNoiseSource(self.model.num_params, random_seed=random_seed)
+        if noise_kind == "counter":
+            from dfd_tpu.core.noise import CounterNoise
+
+            noise_source = CounterNoise(self.model.num_params, random_seed=random_seed)
+        else:
+            noise_source = RNGNoiseSource(self.model.num_params, random_seed=random_seed)
         self.strategy_handler = StrategyHandler(
             self.model, self.policy.bn_state, distance_fn, max_history_size=max_strategy_history_size
         )
@@ -111,6 +120,11 @@ class ServerRunner:
                 "random_seed": random_seed,
                 "eval_prob": eval_prob,
                 "max_strategy_history_size": max_strategy_history_size,
+                "noise_kind": noise_kind,
+                # the shared counter-noise base seed: unlike random_seed this
+                # is NEVER mutated per client — every shard must regenerate
+                # identical noise for a given (epoch, member id)
+                "noise_seed": random_seed,
             },
         )
         self.worker = GRPCWorker(self.current_state)

@@ -166,3 +166,48 @@ def test_distributed_training_end_to_end():
     assert np.isfinite(row["Noisy Reward"])
     assert "Delayed Ratio" in row and "Discarded Returns" in row
     ct.join(timeout=30)
+
+
+def test_fat_client_distributed_training():
+    """A fat client (batched host evaluator) trains against a counter-noise
+    server end-to-end, with noise regenerated server-side from member ids."""
+    from dfd_tpu.runners.fat_client import FatClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0",
+        batch_size=6,
+        zeta_size=4,
+        max_strategy_history_size=4,
+        normalize_obs=False,
+        random_seed=21,
+        port=0,
+        noise_kind="counter",
+        reporter=reporter,
+        timestep_limit=10_000_000,
+    )
+
+    result = {}
+
+    def client_main():
+        for _ in range(100):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        runner = FatClientRunner(n_envs=8, port=server.bound_port)
+        result["ok"] = runner.run(max_windows=30)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=3), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=120)
+    assert not st.is_alive(), "server loop did not finish"
+    assert len(reporter.history) >= 1
+    assert np.isfinite(reporter.history[0]["Noisy Reward"])
+    # no returns were discarded as undecodable: the shared counter noise
+    # regenerated every member server-side
+    assert server.learner.discarded_returns == 0
+    ct.join(timeout=30)

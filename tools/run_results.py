@@ -39,8 +39,10 @@ RUNS = {
     "pendulum_gaussian": dict(
         env=PendulumEnv(), model=GaussianMLP(3, 1),
         dist=distances.gaussian_wasserstein_from_strategies,
-        cfg=TrainConfig(batch_size=256, learning_rate=0.01, noise_std=0.05,
-                        zeta_size=64, max_strategy_history_size=32, random_seed=0),
+        # like CartPole, the ES-style SGD path is the one that solves it
+        cfg=TrainConfig(batch_size=512, learning_rate=1.0, noise_std=0.1,
+                        optimizer="sgd", zeta_size=32,
+                        max_strategy_history_size=16, random_seed=0),
         epochs=150,
     ),
     "pixelgrid_atari_cnn": dict(
