@@ -62,6 +62,30 @@ class CounterNoise:
         return np.asarray(self.generate(epoch, member_id))
 
 
+class CounterNoiseSampler:
+    """Stateful sampling facade over :class:`CounterNoise` for thin workers.
+
+    The Worker's duck-type is ``sample() -> (encoded, noise)`` with no
+    arguments; this wraps the stateless counter scheme with a per-client
+    member counter (offset by the client's minted seed for global
+    uniqueness), so thin clients can feed a counter-mode server — the
+    learner regenerates each vector from the "(epoch, member)" encoding.
+    """
+
+    def __init__(self, base: CounterNoise, id_offset: int = 0):
+        self.base = base
+        self.n_params = base.n_params
+        self._next = int(id_offset) & 0x3FFFFFFF
+
+    def sample(self):
+        member = self._next
+        self._next = (self._next + 1) & 0x7FFFFFFF
+        return self.base.sample(epoch=0, member_id=member)
+
+    def decode(self, encoded: str):
+        return self.base.decode(encoded)
+
+
 class RNGNoiseSource:
     """PCG64-replay noise: encode = the 128-bit generator state.
 

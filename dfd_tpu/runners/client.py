@@ -91,7 +91,15 @@ class ClientRunner:
 
         self.env, model, distance_fn = get_init_data(env_id, random_seed)
         self.policy = HostPolicy(model, seed=random_seed)
-        noise_source = RNGNoiseSource(model.num_params, random_seed=random_seed)
+        if cfg.get("noise_kind") == "counter":
+            # counter-mode server: share its base seed, mint unique member
+            # ids from this client's (minted) seed
+            from dfd_tpu.core.noise import CounterNoise, CounterNoiseSampler
+
+            base = CounterNoise(model.num_params, random_seed=int(cfg["noise_seed"]))
+            noise_source = CounterNoiseSampler(base, id_offset=(random_seed * 2654435761))
+        else:
+            noise_source = RNGNoiseSource(model.num_params, random_seed=random_seed)
         self.strategy_handler = StrategyHandler(
             model,
             self.policy.bn_state,

@@ -88,7 +88,8 @@ class FatClientRunner:
                 recovered = False
                 for _ in range(reconnect_attempts):
                     time.sleep(1)
-                    if client.get_server_state() != FDClient.RPC_FAILED_FLAG:
+                    status = client.get_server_state()
+                    if status != FDClient.RPC_FAILED_FLAG:
                         recovered = True
                         break
                 if not recovered:

@@ -294,23 +294,36 @@ class VectorizedTrainer:
         # 4. eval rollout (unperturbed, deterministic) every eval_every epochs
         do_eval = (state.epoch % cfg.eval_every) == 0
         base_params = model.set_flat(state.flat, xp=jnp)
-        eval_res = fd_rollout.episode_rollout(
-            model,
-            self.env,
-            base_params,
-            state.bn_state,
-            eval_key,
-            self.horizon,
-            deterministic=jnp.asarray(True),
-            obs_mean=obs_mean,
-            obs_std=obs_std,
-            normalize_obs=cfg.normalize_obs,
-            obs_stats_update_chance=cfg.obs_stats_update_chance,
-            collect_states=True,
-        )
-        eval_novelty = self._batch_novelty(
-            jax.tree.map(lambda x: x[None], base_params), state, archive, archive_count
-        )[0]
+
+        def run_eval(_):
+            res = fd_rollout.episode_rollout(
+                model, self.env, base_params, state.bn_state, eval_key, self.horizon,
+                deterministic=jnp.asarray(True),
+                obs_mean=obs_mean, obs_std=obs_std,
+                normalize_obs=cfg.normalize_obs,
+                obs_stats_update_chance=cfg.obs_stats_update_chance,
+                collect_states=True,
+            )
+            nov = self._batch_novelty(
+                jax.tree.map(lambda x: x[None], base_params), state, archive, archive_count
+            )[0]
+            return res, nov
+
+        if cfg.eval_every == 1:
+            eval_res, eval_novelty = run_eval(None)
+        else:
+            # lax.cond skips the full-horizon eval work on non-eval epochs
+            def skip_eval(_):
+                res = fd_rollout.RolloutResult(
+                    reward=jnp.float32(0),
+                    entropy=jnp.float32(0),
+                    steps=jnp.int32(0),
+                    obs_stats=welford.jnp_init(self.env.obs_shape),
+                    states=jnp.zeros((self.horizon,) + tuple(self.env.obs_shape), jnp.float32),
+                )
+                return res, jnp.float32(0)
+
+            eval_res, eval_novelty = jax.lax.cond(do_eval, run_eval, skip_eval, None)
 
         ema = lambda old, new: jnp.where(do_eval, old * 0.9 + new * 0.1, old)
         policy_reward = ema(state.policy_reward, eval_res.reward)

@@ -118,6 +118,7 @@ def _restore_archive(handler, arrays, meta, zeta) -> None:
     handler.archive.strategy_tensor = []
     handler.archive.known_dists = {}
     handler.archive.worst_point_idx = 0
+    handler.archive.zeta = []  # else a warm archive would route submit() into _replace
     handler.zeta = None
     if meta["n_archive"] > 0:
         for flat in arrays["archive.flats"]:

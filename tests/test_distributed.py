@@ -211,3 +211,36 @@ def test_fat_client_distributed_training():
     # regenerated every member server-side
     assert server.learner.discarded_returns == 0
     ct.join(timeout=30)
+
+
+def test_thin_client_against_counter_server():
+    """A thin (sequential) client joined to a counter-mode server must encode
+    decodable member ids (reviewer finding: PCG64 encodings would crash the
+    counter learner's decode)."""
+    from dfd_tpu.runners.client import ClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0", batch_size=3, zeta_size=4,
+        max_strategy_history_size=4, normalize_obs=False, random_seed=31,
+        port=0, noise_kind="counter", reporter=reporter, timestep_limit=10_000_000,
+    )
+
+    def client_main():
+        for _ in range(100):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        ClientRunner(port=server.bound_port, collect_window_s=0.001).run(max_iterations=40)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=2), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=120)
+    assert not st.is_alive(), "server loop did not finish"
+    assert server.learner.discarded_returns == 0
+    assert len(reporter.history) >= 1
+    ct.join(timeout=30)

@@ -194,3 +194,47 @@ def test_population_chunking_matches_dense():
     n1 = [r["Noisy Novelty"] for r in dense.reporter.history]
     n2 = [r["Noisy Novelty"] for r in chunked.reporter.history]
     np.testing.assert_allclose(n1, n2, rtol=1e-4, atol=1e-6)
+
+
+def test_eval_every_skips_eval_work():
+    """With eval_every>1 non-eval epochs run no eval episode (timesteps drop
+    by the eval horizon) and EMAs/zeta only move on eval epochs."""
+    a = _trainer(P=4, eval_every=3, episode_length=50)
+    a.train(4)
+    h = a.reporter.history
+    # epochs 0 and 3 eval (epoch counter starts at 0): timesteps differ
+    steps = []
+    prev = 0
+    for r in h:
+        steps.append(r["Cumulative Timesteps"] - prev)
+        prev = r["Cumulative Timesteps"]
+    assert steps[0] > steps[1]  # eval epoch collected the extra episode
+    assert steps[1] == steps[2] == 4 * 50
+    assert steps[3] == steps[0]
+    # EMA frozen between evals
+    assert h[0]["Policy Reward"] == h[1]["Policy Reward"] == h[2]["Policy Reward"]
+
+
+def test_checkpoint_restore_into_warm_trainer():
+    """Restoring into a trainer whose archive is already warm/full must not
+    route submissions into _replace against an emptied tensor."""
+    import os
+    import tempfile
+
+    from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    def small_trainer():
+        cfg = TrainConfig(batch_size=4, learning_rate=0.05, noise_std=0.05,
+                          zeta_size=16, max_strategy_history_size=2, random_seed=5)
+        return VectorizedTrainer(DiscreteMLP(2, 9), TrapEnv(), distances.categorical_tvd, cfg)
+
+    a = small_trainer()
+    a.train(4)  # archive full (2 entries) and zeta set
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "c.npz")
+        save_checkpoint(path, a)
+        b = small_trainer()
+        b.train(4)  # warm target: archive full, archive.zeta non-empty
+        load_checkpoint(path, b)
+        b.train(1)  # must not crash
+    assert int(b.state.epoch) == 5
