@@ -35,6 +35,7 @@ def main():
         zeta_size=64,
         max_strategy_history_size=16,
         random_seed=0,
+        scan_unroll=8,
     )
     tr = VectorizedTrainer(
         DiscreteMLP(2, 9), TrapEnv(), distances.categorical_tvd, cfg,

@@ -54,6 +54,8 @@ class TrainConfig:
     # noise backend: "jax" (counter keys + jax.random.normal) or "pallas"
     # (in-kernel counter-hash regeneration; zero noise HBM traffic)
     noise_backend: str = "jax"
+    # lax.scan unroll factor for the rollout time axis (throughput vs compile time)
+    scan_unroll: int = 1
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -221,6 +221,7 @@ class VectorizedTrainer:
                 normalize_obs=cfg.normalize_obs,
                 obs_stats_update_chance=cfg.obs_stats_update_chance,
                 collect_states=False,
+                unroll=cfg.scan_unroll,
             )
 
         chunked = bool(cfg.population_chunk) and cfg.population_chunk < P
@@ -303,6 +304,7 @@ class VectorizedTrainer:
                 normalize_obs=cfg.normalize_obs,
                 obs_stats_update_chance=cfg.obs_stats_update_chance,
                 collect_states=True,
+                unroll=cfg.scan_unroll,
             )
             nov = self._batch_novelty(
                 jax.tree.map(lambda x: x[None], base_params), state, archive, archive_count
