@@ -409,16 +409,24 @@ class VectorizedTrainer:
 
     def _batch_novelty(self, pop_params, state: TrainState, archive, archive_count):
         """Min behavioral distance to the archive, 0 when the archive has <2
-        entries (reference strategy_handler.py:25-31 guard)."""
+        entries — and, like the reference's guard (strategy_handler.py:25-31),
+        the strategy forwards are skipped entirely in that case (lax.cond)."""
 
-        def one(params):
-            strat = self.model.strategy(params, state.bn_state, state.zeta)
-            dists = self.distance_fn(strat, archive, xp=jnp)
-            idx = jnp.arange(archive.shape[0])
-            dists = jnp.where(idx < archive_count, dists, jnp.inf)
-            return jnp.where(archive_count >= 2, jnp.min(dists), 0.0)
+        def compute(_):
+            def one(params):
+                strat = self.model.strategy(params, state.bn_state, state.zeta)
+                dists = self.distance_fn(strat, archive, xp=jnp)
+                idx = jnp.arange(archive.shape[0])
+                dists = jnp.where(idx < archive_count, dists, jnp.inf)
+                return jnp.min(dists)
 
-        return jax.vmap(one)(pop_params)
+            return jax.vmap(one)(pop_params)
+
+        def skip(_):
+            n = jax.tree.leaves(pop_params)[0].shape[0]
+            return jnp.zeros((n,), jnp.float32)
+
+        return jax.lax.cond(archive_count >= 2, compute, skip, None)
 
     def _update_zeta(self, zeta, eval_res, zeta_key, do_eval):
         """Replace a random permutation of zeta slots with the first visited
