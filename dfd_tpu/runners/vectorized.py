@@ -492,3 +492,9 @@ class VectorizedTrainer:
         keys = jax.random.split(k0, n)
         _, buf = jax.lax.scan(step, init, keys)
         return buf
+
+    def train_to_timesteps(self, timestep_limit: int, sync_every: int = 10) -> None:
+        """Train until ``cumulative_timesteps`` reaches the limit (the
+        reference server's budget semantic, run_server.py:25)."""
+        while self.cumulative_timesteps < timestep_limit:
+            self.train_fast(sync_every, sync_every=sync_every)
