@@ -48,6 +48,8 @@ def cmd_train(args) -> int:
             random_seed=args.seed,
             normalize_obs=args.normalize_obs,
             noise_backend=args.noise_backend,
+            scan_unroll=args.unroll,
+            population_chunk=args.population_chunk,
         )
         mesh = None
         if args.mesh:
@@ -164,6 +166,9 @@ def main(argv=None) -> int:
     p.add_argument("--sync-every", type=int, default=10)
     p.add_argument("--mesh", action="store_true", help="shard the population over all devices")
     p.add_argument("--noise-backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--unroll", type=int, default=1, help="rollout scan unroll factor")
+    p.add_argument("--population-chunk", type=int, default=None,
+                   help="microbatch the population to bound memory")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--quiet", action="store_true")

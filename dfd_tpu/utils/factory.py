@@ -20,7 +20,6 @@ from dfd_tpu.models import DiscreteMLP, GaussianMLP
 from dfd_tpu.models.atari import AtariCNN
 from dfd_tpu.models.impala import ImpalaPolicy
 from dfd_tpu.ops import distances
-from dfd_tpu.runners.host_env import HostEnv
 
 JAX_ENVS = {
     "SimpleTrapEnv-v0": TrapEnv,
@@ -50,6 +49,8 @@ def get_vectorized_init_data(env_id: str) -> Tuple[object, object, object]:
 def get_init_data(env_id: str, random_seed: int) -> Tuple[object, object, object]:
     """(host-surface env, policy model, strategy distance fn) for ``env_id``."""
     if env_id in JAX_ENVS:
+        from dfd_tpu.runners.host_env import HostEnv  # lazy: avoids a package cycle
+
         jax_env = make_jax_env(env_id)
         env = HostEnv(jax_env, seed=random_seed)
         if jax_env.discrete:

@@ -42,3 +42,25 @@ class EpochReporter:
         with open(path, "w") as f:
             for row in self.history:
                 f.write(json.dumps(row) + "\n")
+
+
+def make_reporter(
+    wandb_project: Optional[str] = None,
+    wandb_group: Optional[str] = None,
+    wandb_run_name: Optional[str] = None,
+    quiet: bool = False,
+) -> EpochReporter:
+    """Reporter factory with optional wandb attachment (the reference's
+    run-logging setup, run_sequential.py:44-51); silently degrades to
+    console/history-only when wandb is unavailable or no project is given."""
+    run = None
+    if wandb_project is not None:
+        try:
+            import wandb
+
+            run = wandb.init(
+                project=wandb_project, group=wandb_group, name=wandb_run_name, reinit=True
+            )
+        except Exception:
+            run = None
+    return EpochReporter(wandb_run=run, quiet=quiet)

@@ -74,3 +74,28 @@ def test_trainer_vbn_and_multi_episode():
     assert not np.allclose(bn_before, bn_after)  # VBN refreshed running stats
     # E=2 episodes per member per epoch (+1 eval): steps reflect both
     assert tr.cumulative_timesteps >= 2 * (4 * 2 * 30)
+
+
+def test_make_reporter_degrades_without_wandb():
+    from dfd_tpu.utils.metrics import make_reporter
+
+    rep = make_reporter(wandb_project=None, quiet=True)
+    rep.report({"Epoch": 1})
+    assert rep.wandb_run is None and len(rep.history) == 1
+    # with a project name but no wandb installed: still degrades cleanly
+    rep2 = make_reporter(wandb_project="nonexistent-project", quiet=True)
+    rep2.report({"Epoch": 1})
+    assert len(rep2.history) == 1
+
+
+def test_profiler_trace_writes(tmp_path):
+    import jax.numpy as jnp
+
+    from dfd_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        (jnp.ones(16) * 2).block_until_ready()
+    import os
+
+    assert any("plugins" in d or "trace" in str(f).lower()
+               for d, _, fs in os.walk(tmp_path) for f in fs) or os.listdir(tmp_path)
