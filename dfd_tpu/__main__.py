@@ -19,6 +19,7 @@ import sys
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--env", default="SimpleTrapEnv-v0")
+    p.add_argument("--wandb-project", default=None, help="log epochs to wandb when installed")
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--noise-std", type=float, default=0.02)
@@ -31,7 +32,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 def cmd_train(args) -> int:
     from dfd_tpu.config import TrainConfig
     from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
-    from dfd_tpu.utils.metrics import EpochReporter
+    from dfd_tpu.utils.metrics import make_reporter
 
     if args.topology == "vectorized":
         from dfd_tpu.runners import VectorizedTrainer
@@ -57,7 +58,8 @@ def cmd_train(args) -> int:
 
             mesh = make_pop_mesh()
         trainer = VectorizedTrainer(
-            model, env, distance_fn, cfg, mesh=mesh, reporter=EpochReporter(quiet=args.quiet)
+            model, env, distance_fn, cfg, mesh=mesh,
+            reporter=make_reporter(args.wandb_project, wandb_group=args.env, quiet=args.quiet),
         )
         if args.resume:
             load_checkpoint(args.resume, trainer)
@@ -86,7 +88,7 @@ def cmd_train(args) -> int:
         zeta_size=args.zeta_size,
         max_strategy_history_size=args.history_size,
         normalize_obs=args.normalize_obs,
-        reporter=EpochReporter(quiet=args.quiet),
+        reporter=make_reporter(args.wandb_project, wandb_group=args.env, quiet=args.quiet),
     )
     runner.train(args.epochs)
     return 0
@@ -94,8 +96,10 @@ def cmd_train(args) -> int:
 
 def cmd_server(args) -> int:
     from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import make_reporter
 
     ServerRunner(
+        reporter=make_reporter(args.wandb_project, wandb_group=args.env),
         env_id=args.env,
         learning_rate=args.lr,
         noise_std=args.noise_std,

@@ -119,15 +119,25 @@ class VectorizedTrainer:
             key=jax.random.key(cfg.random_seed),
         )
         self.cumulative_timesteps = 0
+        self._last_archived = None
 
         self._step = jax.jit(self._epoch_step)
 
     # -- public ------------------------------------------------------------------
 
+    def _archive_current(self) -> None:
+        """Submit the current policy unless it is already the latest archive
+        entry (guards chained train calls against duplicate snapshots)."""
+        flat = np.asarray(self.state.flat)
+        if self._last_archived is not None and np.array_equal(flat, self._last_archived):
+            return
+        self.handler.add_policy(flat)
+        self._last_archived = flat.copy()
+
     def train(self, n_epochs: int) -> None:
         """Reference-cadence training: one jitted step per epoch with the
         strategy archive refreshed on host between epochs."""
-        self.handler.add_policy(np.asarray(self.state.flat))
+        self._archive_current()
         for _ in range(n_epochs):
             t0 = time.perf_counter()
             archive, count = self._archive_inputs()
@@ -141,7 +151,7 @@ class VectorizedTrainer:
                 # device-batched) — reference run_sequential.py:146-147
                 self.handler.set_zeta(np.asarray(self.state.zeta))
             if m["Update Magnitude"] > 0:
-                self.handler.add_policy(np.asarray(self.state.flat))
+                self._archive_current()
 
             m.update(
                 {
@@ -165,7 +175,7 @@ class VectorizedTrainer:
         measured ~35x slower than chained dispatch under current XLA — the
         nested scan defeats the rollout pipeline's parallelization.)
         """
-        self.handler.add_policy(np.asarray(self.state.flat))
+        self._archive_current()
         done = 0
         while done < n_epochs:
             n = min(sync_every, n_epochs - done)
@@ -194,7 +204,7 @@ class VectorizedTrainer:
 
             if any_eval:
                 self.handler.set_zeta(np.asarray(self.state.zeta))
-            self.handler.add_policy(np.asarray(self.state.flat))
+            self._archive_current()
             done += n
 
     # -- jitted epoch ------------------------------------------------------------
