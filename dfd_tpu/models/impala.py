@@ -41,10 +41,17 @@ CHANNELS = (16, 32, 32)
 HIDDEN = 256
 
 
-def conv3x3(p, x):
+def conv3x3(p, x, compute_dtype=None):
+    """3x3 same conv; optionally runs the MXU contraction in bf16 with f32
+    accumulation (params stay f32 — the FD perturbations live in f32)."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
     )
     return y + p["b"][None, :, None, None]
 
@@ -71,9 +78,20 @@ class ImpalaPolicy(PolicyModel):
     discrete = True
     recurrent = True
 
-    def __init__(self, frame_shape: Tuple[int, int, int], n_actions: int, use_lstm: bool = True):
-        """``frame_shape``: (C, H, W) of one frame (procgen: (3, 64, 64))."""
+    def __init__(
+        self,
+        frame_shape: Tuple[int, int, int],
+        n_actions: int,
+        use_lstm: bool = True,
+        compute_dtype=None,
+    ):
+        """``frame_shape``: (C, H, W) of one frame (procgen: (3, 64, 64)).
+
+        ``compute_dtype=jnp.bfloat16`` runs the conv/fc contractions on the
+        MXU in bf16 with f32 accumulation; parameters, the LSTM cell and the
+        policy head stay f32 (probs within ~1e-2 of the f32 path)."""
         c, h, w = (int(v) for v in frame_shape)
+        self.compute_dtype = compute_dtype
         self.frame_chw = (c, h, w)
         self.input_shape = (c, h, w)
         self.output_shape = int(n_actions)
@@ -185,24 +203,31 @@ class ImpalaPolicy(PolicyModel):
     def _torso(self, params, state, frames):
         """frames [B, C, H, W] (raw pixels) -> core features [B, 257]... minus
         the reward concat (caller appends)."""
+        cd = self.compute_dtype
         x = jnp.asarray(frames, jnp.float32) / 255.0
         for k in range(len(CHANNELS)):
             x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
-            x = conv3x3(params[f"feat{k}_conv"], x)
+            x = conv3x3(params[f"feat{k}_conv"], x, cd)
             x = maxpool3x3s2(x)
             for r in (1, 2):
                 res = x
                 y = batchnorm2d_eval(params[f"res{r}_{k}_bn1"], state[f"res{r}_{k}_bn1"], x)
                 y = jax.nn.relu(y)
-                y = conv3x3(params[f"res{r}_{k}_conv1"], y)
+                y = conv3x3(params[f"res{r}_{k}_conv1"], y, cd)
                 y = batchnorm2d_eval(params[f"res{r}_{k}_bn2"], state[f"res{r}_{k}_bn2"], y)
                 y = jax.nn.relu(y)
-                y = conv3x3(params[f"res{r}_{k}_conv2"], y)
+                y = conv3x3(params[f"res{r}_{k}_conv2"], y, cd)
                 x = y + res
         x = jax.nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = layers.batchnorm_eval(params["fc_bn"], state["fc_bn"], x)
-        x = layers.linear(params["fc"], x)
+        if cd is not None:
+            x = jnp.dot(
+                x.astype(cd), params["fc"]["w"].T.astype(cd),
+                preferred_element_type=jnp.float32,
+            ) + params["fc"]["b"]
+        else:
+            x = layers.linear(params["fc"], x)
         return jax.nn.relu(x)
 
     def _head(self, params, state, core_output):

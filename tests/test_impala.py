@@ -146,3 +146,16 @@ def test_impala_rollout_integration():
     assert int(res.steps) == 4
     assert np.isfinite(float(res.reward))
     assert np.isfinite(float(res.entropy))
+
+
+def test_impala_bf16_compute_close_to_f32():
+    import jax.numpy as jnp
+
+    f32 = ImpalaPolicy(FRAME, A)
+    bf = ImpalaPolicy(FRAME, A, compute_dtype=jnp.bfloat16)
+    params, state = f32.init(2)
+    frames = (np.random.RandomState(1).rand(3, *FRAME) * 255).astype(np.float32)
+    a = np.asarray(f32.apply(params, state, frames))
+    b = np.asarray(bf.apply(params, state, frames))
+    assert b.dtype == np.float32  # accumulation and head stay f32
+    np.testing.assert_allclose(a, b, atol=0.05)
