@@ -51,6 +51,7 @@ def cmd_train(args) -> int:
             noise_backend=args.noise_backend,
             scan_unroll=args.unroll,
             population_chunk=args.population_chunk,
+            antithetic=args.antithetic,
         )
         mesh = None
         if args.mesh:
@@ -170,6 +171,8 @@ def main(argv=None) -> int:
     p.add_argument("--sync-every", type=int, default=10)
     p.add_argument("--mesh", action="store_true", help="shard the population over all devices")
     p.add_argument("--noise-backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--antithetic", action="store_true",
+                   help="mirrored +-sigma*eps perturbation pairs (even batch size)")
     p.add_argument("--unroll", type=int, default=1, help="rollout scan unroll factor")
     p.add_argument("--population-chunk", type=int, default=None,
                    help="microbatch the population to bound memory")

@@ -31,6 +31,11 @@ class TrainConfig:
     noise_std: float = 0.02
     batch_size: int = 40                 # perturbations per update (population)
     envs_per_perturbation: int = 1       # episodes averaged per member
+    # mirrored perturbation pairs theta +- sigma*eps (members 2k/2k+1 share
+    # eps_k with opposite signs) — variance-reduced vs the reference's
+    # one-sided theta + sigma*eps (reference worker/worker.py:26-30);
+    # requires an even batch_size
+    antithetic: bool = False
     ent_coef: float = 0.0
     random_seed: int = 123
     max_delayed_return: int = 10

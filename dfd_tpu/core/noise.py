@@ -31,11 +31,23 @@ import numpy as np
 
 
 class CounterNoise:
-    """Stateless counter-based Gaussian noise keyed by (epoch, member id)."""
+    """Stateless counter-based Gaussian noise keyed by (epoch, member id).
 
-    def __init__(self, n_params: int, random_seed: int = 123):
+    With ``antithetic=True`` members form mirrored pairs: ids ``2k`` and
+    ``2k+1`` share the draw ``eps_k = normal(key(epoch, k))`` with opposite
+    signs, so evaluating both yields the antithetic estimator
+    ``(f(theta+sigma*eps) - f(theta-sigma*eps))`` under the unchanged
+    fitness-weighted combine.  The pairing lives *here* — in the id->vector
+    map — so every consumer (trainer, chunked combine, fat-client shards,
+    the learner's decode) regenerates consistently from the same encoding.
+    (The reference is strictly one-sided, worker/worker.py:26-30; antithetic
+    is the build-side improvement the north star names.)
+    """
+
+    def __init__(self, n_params: int, random_seed: int = 123, antithetic: bool = False):
         self.n_params = int(n_params)
         self.base_key = jax.random.key(random_seed)
+        self.antithetic = bool(antithetic)
 
     # device-side ---------------------------------------------------------------
 
@@ -45,7 +57,16 @@ class CounterNoise:
     @partial(jax.jit, static_argnums=0)
     def generate(self, epoch, member_id):
         """f32[d] standard-normal noise for one population member."""
-        return jax.random.normal(self.member_key(epoch, member_id), (self.n_params,), jnp.float32)
+        if not self.antithetic:
+            return jax.random.normal(
+                self.member_key(epoch, member_id), (self.n_params,), jnp.float32
+            )
+        member_id = jnp.asarray(member_id)
+        sign = jnp.where(member_id % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+        eps = jax.random.normal(
+            self.member_key(epoch, member_id // 2), (self.n_params,), jnp.float32
+        )
+        return sign * eps
 
     def generate_block(self, epoch, member_ids):
         """f32[len(ids), d] — vmapped regeneration for a population shard."""
@@ -70,17 +91,27 @@ class CounterNoiseSampler:
     member counter (offset by the client's minted seed for global
     uniqueness), so thin clients can feed a counter-mode server — the
     learner regenerates each vector from the "(epoch, member)" encoding.
+
+    The epoch key dimension is live: ``Worker.update`` pushes each broadcast
+    FDState's epoch via :meth:`set_epoch`, so encodings are
+    "(current epoch, member)".  The member counter stays monotone across
+    epochs — uniqueness never depends on the epoch being current, it only
+    keeps the encoding scheme aligned with the vectorized trainer's.
     """
 
     def __init__(self, base: CounterNoise, id_offset: int = 0):
         self.base = base
         self.n_params = base.n_params
         self._next = int(id_offset) & 0x3FFFFFFF
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = max(int(epoch), 0)
 
     def sample(self):
         member = self._next
         self._next = (self._next + 1) & 0x7FFFFFFF
-        return self.base.sample(epoch=0, member_id=member)
+        return self.base.sample(epoch=self._epoch, member_id=member)
 
     def decode(self, encoded: str):
         return self.base.decode(encoded)

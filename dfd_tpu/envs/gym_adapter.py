@@ -23,6 +23,60 @@ def gymnasium_available() -> bool:
         return False
 
 
+def procgen_available() -> bool:
+    """procgen registers against gym-era gym, not gymnasium."""
+    try:
+        import gym  # noqa: F401
+        import procgen  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class GymEnv:
+    """Adapter for gym-era (4-tuple) environments such as procgen.
+
+    procgen's C++ env registers ids like ``procgen:procgen-coinrun-v0``
+    against the legacy ``gym`` registry (reference utils/init_helper.py:9-12
+    builds it the same way); this adapter exposes the same surface as
+    :class:`GymnasiumEnv` so the rest of the stack is registry-agnostic."""
+
+    def __init__(self, env_id: str, seed: int = 0, **kwargs):
+        import gym
+
+        self._env = gym.make(env_id, **kwargs)
+        self._seed: Optional[int] = seed
+        self.observation_space = self._env.observation_space
+        self.action_space = self._env.action_space
+
+    @property
+    def n_actions(self):
+        return getattr(self._env.action_space, "n", None)
+
+    @property
+    def obs_shape(self):
+        return self._env.observation_space.shape
+
+    def seed(self, seed: int) -> None:
+        self._seed = seed
+        if hasattr(self._env, "seed"):
+            self._env.seed(seed)
+
+    def reset(self) -> np.ndarray:
+        if self._seed is not None and hasattr(self._env, "seed"):
+            self._env.seed(self._seed)
+            self._seed = None
+        return np.asarray(self._env.reset())
+
+    def step(self, action):
+        obs, reward, done, info = self._env.step(action)
+        return np.asarray(obs), float(reward), bool(done), info
+
+    def close(self) -> None:
+        self._env.close()
+
+
 class GymnasiumEnv:
     """Old-gym surface (reset()->obs, step()->obs,rew,done,info) over
     gymnasium's 5-tuple API, with seed plumbing."""

@@ -49,18 +49,26 @@ def _fmix32(x):
     return x
 
 
-def _noise_tile(base_seed, epoch, member_block, chunk_idx, chunk, d):
+def _noise_tile(base_seed, epoch, member_block, chunk_idx, chunk, d, antithetic=False):
     """f32[MROW, chunk] standard normals for members
     [member_block*MROW, ...+MROW), zeroed past feature d.
 
     Deterministic in (base_seed, epoch, member, chunk_idx, lane); identical
-    in the perturb and combine kernels and across backends.
+    in the perturb and combine kernels and across backends.  With
+    ``antithetic`` members 2k/2k+1 share the draw of pair k with opposite
+    signs (mirroring CounterNoise's antithetic id->vector map).
     """
     u32 = lambda v: jnp.asarray(v).astype(jnp.uint32)
-    members = (
+    raw_members = (
         member_block * MROW
         + jax.lax.broadcasted_iota(jnp.int32, (MROW, 1), 0)
-    ).astype(jnp.uint32)  # [MROW, 1]
+    )  # [MROW, 1] int32
+    if antithetic:
+        members = (raw_members // 2).astype(jnp.uint32)
+        sign = jnp.where(raw_members % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+    else:
+        members = raw_members.astype(jnp.uint32)
+        sign = None
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1).astype(jnp.uint32)
 
     base = _fmix32(u32(base_seed) * jnp.uint32(0x9E3779B9) ^ u32(epoch))
@@ -75,19 +83,21 @@ def _noise_tile(base_seed, epoch, member_block, chunk_idx, chunk, d):
     u1 = (bits1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
     u2 = (bits2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    if sign is not None:
+        z = z * sign
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (MROW, chunk), 1) + chunk_idx * chunk
     return jnp.where(idx < d, z, 0.0)
 
 
-def _perturb_kernel(seed_ref, flat_ref, out_ref, *, sigma, chunk, d):
+def _perturb_kernel(seed_ref, flat_ref, out_ref, *, sigma, chunk, d, antithetic):
     mb = pl.program_id(0)
     c = pl.program_id(1)
-    eps = _noise_tile(seed_ref[0], seed_ref[1], mb, c, chunk, d)
+    eps = _noise_tile(seed_ref[0], seed_ref[1], mb, c, chunk, d, antithetic)
     out_ref[:, :] = flat_ref[:][None, :] + sigma * eps
 
 
-def _combine_kernel(seed_ref, coef_ref, out_ref, *, chunk, d):
+def _combine_kernel(seed_ref, coef_ref, out_ref, *, chunk, d, antithetic):
     c = pl.program_id(0)
     mb = pl.program_id(1)
 
@@ -95,7 +105,7 @@ def _combine_kernel(seed_ref, coef_ref, out_ref, *, chunk, d):
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    eps = _noise_tile(seed_ref[0], seed_ref[1], mb, c, chunk, d)
+    eps = _noise_tile(seed_ref[0], seed_ref[1], mb, c, chunk, d, antithetic)
     # SMEM only serves scalar loads: unroll the MROW coefficient reads
     coefs = jnp.stack([coef_ref[mb * MROW + r] for r in range(MROW)])
     out_ref[:, :] = out_ref[:, :] + coefs[:, None] * eps
@@ -105,13 +115,17 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "P", "chunk", "d", "interpret"))
-def _perturb_call(flat_padded, seeds, sigma, P, chunk, d, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "P", "chunk", "d", "interpret", "antithetic")
+)
+def _perturb_call(flat_padded, seeds, sigma, P, chunk, d, interpret, antithetic):
     dp = flat_padded.shape[0]
     n_chunks = dp // chunk
     Pp = _ceil_to(P, MROW)
     out = pl.pallas_call(
-        functools.partial(_perturb_kernel, sigma=float(sigma), chunk=chunk, d=d),
+        functools.partial(
+            _perturb_kernel, sigma=float(sigma), chunk=chunk, d=d, antithetic=antithetic
+        ),
         grid=(Pp // MROW, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -124,7 +138,10 @@ def _perturb_call(flat_padded, seeds, sigma, P, chunk, d, interpret):
     return out
 
 
-def pallas_perturb(flat, sigma, base_seed, epoch, P: int, chunk: int = DEFAULT_CHUNK, interpret=None):
+def pallas_perturb(
+    flat, sigma, base_seed, epoch, P: int, chunk: int = DEFAULT_CHUNK, interpret=None,
+    antithetic: bool = False,
+):
     """(perturbed [P, d], noise_sumsq [P]) with on-chip noise generation."""
     if interpret is None:
         interpret = not _on_tpu()
@@ -134,20 +151,20 @@ def pallas_perturb(flat, sigma, base_seed, epoch, P: int, chunk: int = DEFAULT_C
     seeds = jnp.stack(
         [jnp.asarray(base_seed, jnp.int32), jnp.asarray(epoch, jnp.int32)]
     )
-    out = _perturb_call(flat_padded, seeds, float(sigma), P, chunk, d, interpret)
+    out = _perturb_call(flat_padded, seeds, float(sigma), P, chunk, d, interpret, antithetic)
     out = out[:P, :d]
     diff = out - jnp.asarray(flat, jnp.float32)[None, :]
     ssq = jnp.sum(diff * diff, axis=1) / (sigma * sigma)  # ||eps_i||^2, XLA-fused
     return out, ssq
 
 
-@functools.partial(jax.jit, static_argnames=("d", "chunk", "interpret"))
-def _combine_call(coefs_padded, seeds, d, chunk, interpret):
+@functools.partial(jax.jit, static_argnames=("d", "chunk", "interpret", "antithetic"))
+def _combine_call(coefs_padded, seeds, d, chunk, interpret, antithetic):
     Pp = coefs_padded.shape[0]
     dp = _ceil_to(d, chunk)
     n_chunks = dp // chunk
     g = pl.pallas_call(
-        functools.partial(_combine_kernel, chunk=chunk, d=d),
+        functools.partial(_combine_kernel, chunk=chunk, d=d, antithetic=antithetic),
         grid=(n_chunks, Pp // MROW),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -163,7 +180,10 @@ def _combine_call(coefs_padded, seeds, d, chunk, interpret):
     return g.sum(axis=0)[:d]
 
 
-def pallas_combine(coefs, base_seed, epoch, d: int, chunk: int = DEFAULT_CHUNK, interpret=None):
+def pallas_combine(
+    coefs, base_seed, epoch, d: int, chunk: int = DEFAULT_CHUNK, interpret=None,
+    antithetic: bool = False,
+):
     """g[d] = sum_i coefs[i] * eps(i)[d], regenerating eps on-chip.
 
     For the FD estimator pass ``coefs = fitness / (sigma * noise_sumsq)``
@@ -178,4 +198,4 @@ def pallas_combine(coefs, base_seed, epoch, d: int, chunk: int = DEFAULT_CHUNK, 
     seeds = jnp.stack(
         [jnp.asarray(base_seed, jnp.int32), jnp.asarray(epoch, jnp.int32)]
     )
-    return _combine_call(coefs_padded, seeds, d, chunk, interpret)
+    return _combine_call(coefs_padded, seeds, d, chunk, interpret, antithetic)

@@ -96,8 +96,14 @@ class ClientRunner:
             # ids from this client's (minted) seed
             from dfd_tpu.core.noise import CounterNoise, CounterNoiseSampler
 
-            base = CounterNoise(model.num_params, random_seed=int(cfg["noise_seed"]))
-            noise_source = CounterNoiseSampler(base, id_offset=(random_seed * 2654435761))
+            antithetic = bool(cfg.get("antithetic", False))
+            base = CounterNoise(
+                model.num_params, random_seed=int(cfg["noise_seed"]), antithetic=antithetic
+            )
+            offset = random_seed * 2654435761
+            if antithetic:
+                offset &= ~1  # even-align: consecutive samples form +-eps pairs
+            noise_source = CounterNoiseSampler(base, id_offset=offset)
         else:
             noise_source = RNGNoiseSource(model.num_params, random_seed=random_seed)
         self.strategy_handler = StrategyHandler(

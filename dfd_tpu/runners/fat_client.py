@@ -123,7 +123,12 @@ class FatClientRunner:
         self.policy = HostPolicy(model, seed=seed)
         # the SHARED base seed (never client-minted): all shards and the
         # server must regenerate identical noise per (epoch, member id)
-        self.noise = CounterNoise(model.num_params, random_seed=int(cfg["noise_seed"]))
+        self.antithetic = bool(cfg.get("antithetic", False))
+        if self.antithetic and self.n_envs % 2 != 0:
+            raise RuntimeError("antithetic mode needs an even number of envs per shard")
+        self.noise = CounterNoise(
+            model.num_params, random_seed=int(cfg["noise_seed"]), antithetic=self.antithetic
+        )
         vec = self._vector_env_factory(env_id, self.n_envs, seed)
         self.evaluator = BatchedHostEvaluator(
             model, vec, self.noise, sigma, normalize_obs=self.normalize_obs
@@ -147,6 +152,8 @@ class FatClientRunner:
     def _collect_window(self):
         self._key, sub = jax.random.split(self._key)
         offset = ((self._seed * 2654435761) ^ (self.windows * 97)) & 0x3FFFFFFF
+        if self.antithetic:
+            offset &= ~1  # even-align so each shard holds complete +-eps pairs
         returns = self.evaluator.evaluate_population(
             self.policy.get_trainable_flat(),
             self.policy.bn_state,

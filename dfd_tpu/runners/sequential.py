@@ -37,6 +37,7 @@ from dfd_tpu.runners.agent import Agent
 from dfd_tpu.runners.policy import HostPolicy, NumpySampler
 from dfd_tpu.runners.worker import Worker
 from dfd_tpu.utils.metrics import EpochReporter
+from dfd_tpu.utils.profiling import StageTimer
 
 
 class SequentialRunner:
@@ -109,6 +110,7 @@ class SequentialRunner:
         self.policy_entropy = 0.0
         self.policy_novelty = 0.0
         self.reporter = reporter or EpochReporter()
+        self.timer = StageTimer()
 
         self.zeta, self.vbn_buffer = self._sample_initial_buffers(vbn_buffer_size)
 
@@ -133,54 +135,58 @@ class SequentialRunner:
             t1 = time.perf_counter()
             rets, ret_rewards, ret_novelties = [], [], []
             any_eval = False
-            while len(rets) < self.batch_size:
-                for ret in self.worker.collect_returns():
-                    if ret.is_eval:
-                        any_eval = True
-                        self.policy_reward = self.policy_reward * 0.9 + ret.reward * 0.1
-                        self.policy_entropy = self.policy_entropy * 0.9 + ret.entropy * 0.1
-                        self.policy_novelty = self.policy_novelty * 0.9 + ret.novelty * 0.1
-                        self.rng.shuffle(idxs)
-                        zeta[idxs[: len(ret.eval_states)]] = np.asarray(ret.eval_states)[: self.zeta_size]
-                    else:
-                        rets.append(ret)
-                        ret_rewards.append(ret.reward)
-                        ret_novelties.append(ret.novelty)
+            with self.timer.stage("rollout"):
+                while len(rets) < self.batch_size:
+                    for ret in self.worker.collect_returns():
+                        if ret.is_eval:
+                            any_eval = True
+                            self.policy_reward = self.policy_reward * 0.9 + ret.reward * 0.1
+                            self.policy_entropy = self.policy_entropy * 0.9 + ret.entropy * 0.1
+                            self.policy_novelty = self.policy_novelty * 0.9 + ret.novelty * 0.1
+                            self.rng.shuffle(idxs)
+                            zeta[idxs[: len(ret.eval_states)]] = np.asarray(ret.eval_states)[: self.zeta_size]
+                        else:
+                            rets.append(ret)
+                            ret_rewards.append(ret.reward)
+                            ret_novelties.append(ret.novelty)
 
             if any_eval:
-                self.strategy_handler.set_zeta(zeta)
+                with self.timer.stage("archive"):
+                    self.strategy_handler.set_zeta(zeta)
                 self.omega.step(np.mean(ret_rewards))
 
-            update_magnitude = self.learner.step(
-                rets, self.policy_reward, self.policy_novelty, self.policy_entropy
-            )
-            self.policy.set_trainable_flat(self.learner.flat)
+            with self.timer.stage("learner"):
+                update_magnitude = self.learner.step(
+                    rets, self.policy_reward, self.policy_novelty, self.policy_entropy
+                )
+                self.policy.set_trainable_flat(self.learner.flat)
 
-            if self.vbn_buffer is not None:
-                self.policy.compute_vbn(self.vbn_buffer)
+                if self.vbn_buffer is not None:
+                    self.policy.compute_vbn(self.vbn_buffer)
 
             if update_magnitude > 0:
-                self.strategy_handler.add_policy(self.policy.get_trainable_flat())
+                with self.timer.stage("archive"):
+                    self.strategy_handler.add_policy(self.policy.get_trainable_flat())
                 self.current_state.strategy_frames = zeta
                 self.current_state.strategy_history = self.strategy_handler.strategy_tensor
                 self.current_state.policy_params = self.policy.serialize()
                 self.current_state.epoch = self.learner.epoch
                 self.worker.update(self.current_state)
 
-                self.reporter.report(
-                    {
-                        "Epoch": self.learner.epoch,
-                        "Epoch Time": time.perf_counter() - t1,
-                        "Cumulative Timesteps": self.agent.cumulative_timesteps,
-                        "Policy Reward": self.policy_reward,
-                        "Policy Entropy": self.policy_entropy,
-                        "Policy Novelty": self.policy_novelty,
-                        "Noisy Reward": float(np.mean(ret_rewards)),
-                        "Noisy Novelty": float(np.mean(ret_novelties)),
-                        "Update Magnitude": update_magnitude,
-                        "Omega": self.omega.omega,
-                    }
-                )
+                report = {
+                    "Epoch": self.learner.epoch,
+                    "Epoch Time": time.perf_counter() - t1,
+                    "Cumulative Timesteps": self.agent.cumulative_timesteps,
+                    "Policy Reward": self.policy_reward,
+                    "Policy Entropy": self.policy_entropy,
+                    "Policy Novelty": self.policy_novelty,
+                    "Noisy Reward": float(np.mean(ret_rewards)),
+                    "Noisy Novelty": float(np.mean(ret_novelties)),
+                    "Update Magnitude": update_magnitude,
+                    "Omega": self.omega.omega,
+                }
+                report.update(self.timer.report())
+                self.reporter.report(report)
 
     # -- helpers -----------------------------------------------------------------
 

@@ -31,6 +31,7 @@ from dfd_tpu.novelty.handler import StrategyHandler
 from dfd_tpu.runners.policy import HostPolicy
 from dfd_tpu.utils.factory import get_init_data
 from dfd_tpu.utils.metrics import EpochReporter
+from dfd_tpu.utils.profiling import StageTimer
 
 
 class ServerRunner:
@@ -55,11 +56,15 @@ class ServerRunner:
         address: str = "localhost",
         port: int = 1025,
         noise_kind: str = "pcg",
+        antithetic: bool = False,
         reporter: Optional[EpochReporter] = None,
     ):
         """``noise_kind``: "pcg" = the reference's replayable PCG64 streams
         (thin clients sample locally); "counter" = counter-keyed noise so
-        fat clients (BatchedHostEvaluator shards) encode members as ids."""
+        fat clients (BatchedHostEvaluator shards) encode members as ids.
+        ``antithetic`` (counter mode only): member ids 2k/2k+1 decode to
+        mirrored +-eps_k pairs — clients must evaluate ids in even-aligned
+        pairs for the variance reduction to engage."""
         self.rng = np.random.RandomState(random_seed)
         self._buffer_rng = np.random.RandomState(random_seed)
         self.batch_size = batch_size
@@ -78,10 +83,14 @@ class ServerRunner:
 
         self.env, self.model, distance_fn = get_init_data(env_id, random_seed)
         self.policy = HostPolicy(self.model, seed=random_seed)
+        if antithetic and noise_kind != "counter":
+            raise ValueError("antithetic mode requires noise_kind='counter'")
         if noise_kind == "counter":
             from dfd_tpu.core.noise import CounterNoise
 
-            noise_source = CounterNoise(self.model.num_params, random_seed=random_seed)
+            noise_source = CounterNoise(
+                self.model.num_params, random_seed=random_seed, antithetic=antithetic
+            )
         else:
             noise_source = RNGNoiseSource(self.model.num_params, random_seed=random_seed)
         self.strategy_handler = StrategyHandler(
@@ -103,6 +112,7 @@ class ServerRunner:
         self.policy_novelty = None
         self.global_obs_stats = Welford(self.model.input_shape)
         self.reporter = reporter or EpochReporter()
+        self.timer = StageTimer()
         self.zeta, self.vbn_buffer = self._sample_initial_buffers(vbn_buffer_size)
 
         self.current_state = FDState(
@@ -121,6 +131,7 @@ class ServerRunner:
                 "eval_prob": eval_prob,
                 "max_strategy_history_size": max_strategy_history_size,
                 "noise_kind": noise_kind,
+                "antithetic": antithetic,
                 # the shared counter-noise base seed: unlike random_seed this
                 # is NEVER mutated per client — every shard must regenerate
                 # identical noise for a given (epoch, member id)
@@ -146,11 +157,12 @@ class ServerRunner:
             while cumulative_timesteps < self.timestep_limit:
                 if max_epochs is not None and epochs_done >= max_epochs:
                     break
-                returns, timesteps, n_delayed, n_discarded = self.worker.collect_returns(
-                    batch_size=self.batch_size,
-                    current_epoch=self.learner.epoch,
-                    max_delayed_return=self.learner.max_delayed_return,
-                )
+                with self.timer.stage("collect"):
+                    returns, timesteps, n_delayed, n_discarded = self.worker.collect_returns(
+                        batch_size=self.batch_size,
+                        current_epoch=self.learner.epoch,
+                        max_delayed_return=self.learner.max_delayed_return,
+                    )
                 self.learner.discarded_returns += n_discarded
                 cumulative_timesteps += timesteps
 
@@ -177,37 +189,40 @@ class ServerRunner:
                         ret_novelties.append(ret.novelty)
 
                 if any_eval:
-                    self.strategy_handler.set_zeta(zeta)
+                    with self.timer.stage("archive"):
+                        self.strategy_handler.set_zeta(zeta)
                     if ret_rewards:
                         self.omega.step(np.mean(ret_rewards))
 
-                update_magnitude = self.learner.step(
-                    non_eval, self.policy_reward, self.policy_novelty, self.policy_entropy
-                )
-                self.policy.set_trainable_flat(self.learner.flat)
-                if self.vbn_buffer is not None:
-                    self.policy.compute_vbn(self.vbn_buffer)
+                with self.timer.stage("learner"):
+                    update_magnitude = self.learner.step(
+                        non_eval, self.policy_reward, self.policy_novelty, self.policy_entropy
+                    )
+                    self.policy.set_trainable_flat(self.learner.flat)
+                    if self.vbn_buffer is not None:
+                        self.policy.compute_vbn(self.vbn_buffer)
 
                 if update_magnitude > 0 and ret_rewards:
-                    self.strategy_handler.add_policy(self.policy.get_trainable_flat())
+                    with self.timer.stage("archive"):
+                        self.strategy_handler.add_policy(self.policy.get_trainable_flat())
                     epoch_time = time.perf_counter() - t1
                     t1 = time.perf_counter()
-                    self.reporter.report(
-                        {
-                            "Epoch": self.learner.epoch,
-                            "Epoch Time": epoch_time,
-                            "Cumulative Timesteps": cumulative_timesteps,
-                            "Policy Reward": self.policy_reward,
-                            "Policy Entropy": self.policy_entropy,
-                            "Policy Novelty": self.policy_novelty,
-                            "Noisy Reward": float(np.mean(ret_rewards)),
-                            "Noisy Novelty": float(np.mean(ret_novelties)),
-                            "Delayed Ratio": n_delayed / max(len(non_eval), 1),
-                            "Update Magnitude": update_magnitude,
-                            "Omega": self.omega.omega,
-                            "Discarded Returns": self.learner.discarded_returns,
-                        }
-                    )
+                    report = {
+                        "Epoch": self.learner.epoch,
+                        "Epoch Time": epoch_time,
+                        "Cumulative Timesteps": cumulative_timesteps,
+                        "Policy Reward": self.policy_reward,
+                        "Policy Entropy": self.policy_entropy,
+                        "Policy Novelty": self.policy_novelty,
+                        "Noisy Reward": float(np.mean(ret_rewards)),
+                        "Noisy Novelty": float(np.mean(ret_novelties)),
+                        "Delayed Ratio": n_delayed / max(len(non_eval), 1),
+                        "Update Magnitude": update_magnitude,
+                        "Omega": self.omega.omega,
+                        "Discarded Returns": self.learner.discarded_returns,
+                    }
+                    report.update(self.timer.report())
+                    self.reporter.report(report)
                 epochs_done += 1
 
                 self.current_state.strategy_frames = zeta

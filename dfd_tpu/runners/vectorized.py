@@ -43,6 +43,7 @@ from dfd_tpu.fd.omega import OmegaParams, OmegaState, omega_init, omega_step
 from dfd_tpu.models.base import PolicyModel
 from dfd_tpu.novelty.handler import StrategyHandler
 from dfd_tpu.utils.metrics import EpochReporter
+from dfd_tpu.utils.profiling import StageTimer
 
 
 class TrainState(NamedTuple):
@@ -77,7 +78,11 @@ class VectorizedTrainer:
 
         self.P = cfg.batch_size
         self.horizon = cfg.episode_length or env.max_episode_steps
-        self.noise = CounterNoise(model.num_params, random_seed=cfg.random_seed)
+        if cfg.antithetic and self.P % 2 != 0:
+            raise ValueError("antithetic mode pairs members 2k/2k+1: batch_size must be even")
+        self.noise = CounterNoise(
+            model.num_params, random_seed=cfg.random_seed, antithetic=cfg.antithetic
+        )
 
         params, bn_state = model.init(cfg.random_seed)
         self._init_params = params
@@ -120,6 +125,7 @@ class VectorizedTrainer:
         )
         self.cumulative_timesteps = 0
         self._last_archived = None
+        self.timer = StageTimer()
 
         self._step = jax.jit(self._epoch_step)
 
@@ -140,18 +146,22 @@ class VectorizedTrainer:
         self._archive_current()
         for _ in range(n_epochs):
             t0 = time.perf_counter()
-            archive, count = self._archive_inputs()
-            self.state, metrics = self._step(self.state, archive, count)
-            m = {k: float(v) for k, v in metrics.items()}
+            with self.timer.stage("archive"):
+                archive, count = self._archive_inputs()
+            with self.timer.stage("device_step"):
+                self.state, metrics = self._step(self.state, archive, count)
+                m = {k: float(v) for k, v in metrics.items()}  # forces sync
             self.cumulative_timesteps += int(m.pop("_timesteps"))
 
             did_eval = m.pop("_did_eval") > 0
-            if did_eval:
-                # re-evaluate the archive on the refreshed zeta (host-driven,
-                # device-batched) — reference run_sequential.py:146-147
-                self.handler.set_zeta(np.asarray(self.state.zeta))
-            if m["Update Magnitude"] > 0:
-                self._archive_current()
+            with self.timer.stage("archive"):
+                if did_eval:
+                    # re-evaluate the archive on the refreshed zeta
+                    # (host-driven, device-batched) — reference
+                    # run_sequential.py:146-147
+                    self.handler.set_zeta(np.asarray(self.state.zeta))
+                if m["Update Magnitude"] > 0:
+                    self._archive_current()
 
             m.update(
                 {
@@ -160,6 +170,7 @@ class VectorizedTrainer:
                     "Cumulative Timesteps": self.cumulative_timesteps,
                 }
             )
+            m.update(self.timer.report())
             self.reporter.report(m)
 
     def train_fast(self, n_epochs: int, sync_every: int = 10) -> None:
@@ -180,12 +191,14 @@ class VectorizedTrainer:
         while done < n_epochs:
             n = min(sync_every, n_epochs - done)
             t0 = time.perf_counter()
-            archive, count = self._archive_inputs()
+            with self.timer.stage("archive"):
+                archive, count = self._archive_inputs()
             per_epoch = []
-            for _ in range(n):
-                self.state, metrics = self._step(self.state, archive, count)
-                per_epoch.append(metrics)
-            jax.block_until_ready(self.state.flat)
+            with self.timer.stage("device_step"):
+                for _ in range(n):
+                    self.state, metrics = self._step(self.state, archive, count)
+                    per_epoch.append(metrics)
+                jax.block_until_ready(self.state.flat)
             chunk_time = time.perf_counter() - t0
 
             any_eval = False
@@ -200,11 +213,13 @@ class VectorizedTrainer:
                         "Cumulative Timesteps": self.cumulative_timesteps,
                     }
                 )
+                if j == n - 1:  # stage totals attach to the chunk's last epoch
+                    with self.timer.stage("archive"):
+                        if any_eval:
+                            self.handler.set_zeta(np.asarray(self.state.zeta))
+                        self._archive_current()
+                    m.update(self.timer.report())
                 self.reporter.report(m)
-
-            if any_eval:
-                self.handler.set_zeta(np.asarray(self.state.zeta))
-            self._archive_current()
             done += n
 
     # -- jitted epoch ------------------------------------------------------------
@@ -269,7 +284,8 @@ class VectorizedTrainer:
                 from dfd_tpu.ops.perturb import pallas_perturb
 
                 pop_flats, noise_ssq = pallas_perturb(
-                    state.flat, cfg.noise_std, cfg.random_seed, state.epoch, P
+                    state.flat, cfg.noise_std, cfg.random_seed, state.epoch, P,
+                    antithetic=cfg.antithetic,
                 )
                 pop_flats = self._shard_pop(pop_flats)
                 eps = None
@@ -362,7 +378,8 @@ class VectorizedTrainer:
 
             coefs = fitness / (cfg.noise_std * jnp.maximum(noise_ssq, 1e-30))
             gradient = pallas_combine(
-                coefs, cfg.random_seed, state.epoch, self.model.num_params
+                coefs, cfg.random_seed, state.epoch, self.model.num_params,
+                antithetic=cfg.antithetic,
             )
         else:
             gradient = fd_combine.combine_gradient(eps, fitness, cfg.noise_std)

@@ -57,6 +57,8 @@ class Worker:
         """Apply a broadcast FDState: parameters, epoch, fixed obs stats."""
         self.policy.deserialize(state.policy_params)
         self.epoch = state.epoch
+        if hasattr(self.noise_source, "set_epoch"):
+            self.noise_source.set_epoch(state.epoch)
         if state.obs_stats is not None:
             self.fixed_obs_stats.deserialize(state.obs_stats)
 

@@ -66,6 +66,8 @@ def save_checkpoint(path: str, trainer) -> None:
     archive_flats = [p.flat for p in trainer.handler.archive.points]
     if archive_flats:
         arrays["archive.flats"] = np.stack(archive_flats)
+    if trainer._last_archived is not None:
+        arrays["last_archived"] = np.asarray(trainer._last_archived)
     meta = {"n_archive": len(archive_flats), "has_zeta": trainer.handler.zeta is not None}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -111,6 +113,12 @@ def load_checkpoint(path: str, trainer) -> None:
 
     # rebuild the strategy archive from snapshot flats
     _restore_archive(trainer.handler, arrays, meta, np.asarray(s.zeta))
+
+    # restore the duplicate-archive guard: without it the next train() call's
+    # _archive_current() re-submits the current flat, depositing a distance-0
+    # duplicate snapshot into the archive
+    la = arrays.get("last_archived")
+    trainer._last_archived = np.asarray(la).copy() if la is not None else None
 
 
 def _restore_archive(handler, arrays, meta, zeta) -> None:

@@ -63,15 +63,29 @@ def get_init_data(env_id: str, random_seed: int) -> Tuple[object, object, object
 
     from dfd_tpu.envs.gym_adapter import GymnasiumEnv, gymnasium_available
 
+    if "procgen" in env_id:
+        # procgen is gym-era (registers against gym, not gymnasium); build it
+        # through the legacy adapter and wrap as the reference does
+        # (reference utils/init_helper.py:9-12 + utils/impala_env_wrapper.py)
+        from dfd_tpu.envs.gym_adapter import GymEnv, procgen_available
+        from dfd_tpu.envs.wrappers import ImpalaObsWrapper
+
+        if not procgen_available():
+            raise RuntimeError(
+                f"env {env_id!r} needs the gym-era 'procgen' and 'gym' packages, "
+                "which are not installed in this image"
+            )
+        raw = GymEnv(env_id, seed=random_seed, distribution_mode="easy", num_levels=500)
+        h, w, c = raw.obs_shape
+        env = ImpalaObsWrapper(raw)
+        model = ImpalaPolicy((c, h, w), raw.n_actions)
+        distance_fn = distances.categorical_tvd
+        return env, model, distance_fn
+
     if not gymnasium_available():
         raise RuntimeError(f"gymnasium not available for env {env_id!r}")
 
-    if "procgen" in env_id:
-        env = GymnasiumEnv(env_id, seed=random_seed, distribution_mode="easy", num_levels=500)
-        h, w, c = env.obs_shape
-        model = ImpalaPolicy((c, h, w), env.n_actions)
-        distance_fn = distances.categorical_tvd
-    elif "NoFrameskip" in env_id or "ALE/" in env_id:
+    if "NoFrameskip" in env_id or "ALE/" in env_id:
         env = GymnasiumEnv(env_id, seed=random_seed)
         shape = env.obs_shape  # expects deepmind-style (H, W, C=4) stacks
         model = AtariCNN((shape[0], shape[1]), env.n_actions)

@@ -1,0 +1,176 @@
+"""Antithetic perturbation mode: mirrored pairs theta +- sigma*eps_k.
+
+The reference is strictly one-sided (reference worker/worker.py:26-30);
+antithetic pairing is the build-side improvement named in the north star.
+The pairing lives in the noise id->vector map (members 2k/2k+1 share eps_k
+with opposite signs), so the combine, wire encodings, and every backend stay
+unchanged — these tests pin the pairing, the paired-difference estimator
+algebra, backend consistency, and the actual variance reduction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.config import TrainConfig
+from dfd_tpu.core.noise import CounterNoise
+from dfd_tpu.envs.trap import TrapEnv
+from dfd_tpu.fd.combine import combine_gradient, fitness_from_rewards
+from dfd_tpu.models import DiscreteMLP
+from dfd_tpu.ops import distances
+from dfd_tpu.ops.perturb import pallas_combine, pallas_perturb
+from dfd_tpu.runners.vectorized import VectorizedTrainer
+from dfd_tpu.utils.metrics import EpochReporter
+
+
+def test_counter_noise_antithetic_pairs():
+    """Members 2k and 2k+1 mirror, and pair k's draw equals the plain
+    stream's member-k draw (same base key => same vectors)."""
+    anti = CounterNoise(33, random_seed=7, antithetic=True)
+    plain = CounterNoise(33, random_seed=7)
+    for epoch in (0, 5):
+        for k in (0, 3, 17):
+            e_even = np.asarray(anti.generate(epoch, 2 * k))
+            e_odd = np.asarray(anti.generate(epoch, 2 * k + 1))
+            np.testing.assert_array_equal(e_even, -e_odd)
+            np.testing.assert_array_equal(e_even, np.asarray(plain.generate(epoch, k)))
+
+
+def test_counter_noise_stream_unchanged_when_off():
+    """antithetic=False must reproduce the round-1 stream bit-exactly
+    (normal(fold_in(fold_in(key, epoch), member)))."""
+    cn = CounterNoise(8, random_seed=3)
+    key = jax.random.fold_in(jax.random.fold_in(jax.random.key(3), 2), 4)
+    expected = jax.random.normal(key, (8,), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(cn.generate(2, 4)), np.asarray(expected))
+
+
+def test_antithetic_combine_is_paired_difference():
+    """With mirrored noise the unchanged combine reduces to the paired
+    estimator  g = sum_k (f_2k - f_2k+1) * sigma*eps_k / ||sigma*eps_k||^2."""
+    d, K, sigma = 12, 5, 0.3
+    eps_base = jax.random.normal(jax.random.key(0), (K, d))
+    signs = jnp.tile(jnp.array([1.0, -1.0]), K)[:, None]
+    eps = jnp.repeat(eps_base, 2, axis=0) * signs
+    f = jax.random.normal(jax.random.key(1), (2 * K,))
+
+    g = combine_gradient(eps, f, sigma)
+
+    w = (f[0::2] - f[1::2]) * sigma / (sigma**2 * jnp.sum(eps_base**2, axis=1))
+    expected = jnp.einsum("k,kd->d", w, eps_base)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_antithetic_backend_consistency():
+    """pallas perturb rows mirror pairwise and pallas combine contracts the
+    same signed noise the perturb kernel produced."""
+    d, P, sigma = 300, 8, 0.5
+    flat = jnp.zeros(d, jnp.float32)
+    out, ssq = pallas_perturb(flat, sigma, 11, 2, P, antithetic=True)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0::2], -out[1::2], rtol=1e-6, atol=1e-7)
+    # pairs share the norm
+    np.testing.assert_allclose(np.asarray(ssq)[0::2], np.asarray(ssq)[1::2], rtol=1e-5)
+
+    coefs = np.linspace(-1.0, 1.0, P).astype(np.float32)
+    g = pallas_combine(coefs, 11, 2, d, antithetic=True)
+    eps = out / sigma
+    np.testing.assert_allclose(np.asarray(g), eps.T @ coefs, rtol=1e-4, atol=1e-5)
+
+
+def test_antithetic_variance_reduction_on_quadratic():
+    """The +-pair difference cancels even-order fitness terms exactly, so the
+    antithetic estimate's alignment with the true gradient is *invariant to
+    curvature*, while the one-sided estimator degrades as curvature noise
+    grows (measured sweep: at sigma=0.5, one-sided cos drops 0.79 -> 0.67
+    from curvature 1 -> 20 while antithetic holds at ~0.72-0.75; at small
+    sigma one-sided wins on direction coverage — this is the honest
+    trade-off, and the regime of real FD training with reward noise and
+    non-trivial sigma*Hessian is the antithetic one)."""
+    d, P, trials, sigma = 16, 32, 30, 0.5
+
+    def mean_cosine(antithetic: bool, curvature: float) -> float:
+        theta = np.asarray(jax.random.normal(jax.random.key(42), (d,))) * 0.5
+        a = np.asarray(jax.random.normal(jax.random.key(43), (d,)))
+        H = np.abs(np.asarray(jax.random.normal(jax.random.key(44), (d,)))) * curvature
+        true_g = a + H * theta  # grad of a.x + 0.5 x.H.x at theta
+        noise = CounterNoise(d, random_seed=0, antithetic=antithetic)
+        cosines = []
+        for epoch in range(trials):
+            eps = np.stack([np.asarray(noise.generate(epoch, i)) for i in range(P)])
+            xs = theta[None, :] + sigma * eps
+            rewards = jnp.asarray(xs @ a + 0.5 * np.sum(H[None] * xs * xs, axis=1))
+            fit = fitness_from_rewards(rewards, rewards.mean(), jax.random.key(epoch))
+            g = np.asarray(combine_gradient(jnp.asarray(eps), fit, sigma))
+            cosines.append(
+                float(g @ true_g / (np.linalg.norm(g) * np.linalg.norm(true_g)))
+            )
+        return float(np.mean(cosines))
+
+    # strong curvature: antithetic strictly better at the same population size
+    cos_plain_hi = mean_cosine(False, curvature=20.0)
+    cos_anti_hi = mean_cosine(True, curvature=20.0)
+    assert cos_anti_hi > cos_plain_hi + 0.03, (cos_anti_hi, cos_plain_hi)
+
+    # curvature invariance of the paired estimator vs one-sided degradation
+    cos_plain_lo = mean_cosine(False, curvature=1.0)
+    cos_anti_lo = mean_cosine(True, curvature=1.0)
+    assert abs(cos_anti_hi - cos_anti_lo) < 0.05, (cos_anti_hi, cos_anti_lo)
+    assert cos_plain_lo - cos_plain_hi > 0.05, (cos_plain_lo, cos_plain_hi)
+
+
+def _trainer(antithetic: bool, **cfg_kw):
+    cfg_kw.setdefault("batch_size", 8)
+    cfg = TrainConfig(
+        learning_rate=0.05, noise_std=0.05, zeta_size=8,
+        max_strategy_history_size=4, random_seed=5, antithetic=antithetic, **cfg_kw,
+    )
+    return VectorizedTrainer(
+        DiscreteMLP(2, 9), TrapEnv(), distances.categorical_tvd, cfg,
+        reporter=EpochReporter(quiet=True),
+    )
+
+
+def test_trainer_antithetic_all_backends_agree():
+    """The jax, pallas, and chunked backends share the id->vector map only
+    within a backend; within each, antithetic training must run and stay
+    finite, and jax-vs-chunked must agree bit-for-bit (same CounterNoise)."""
+    t_jax = _trainer(True)
+    t_jax.train(3)
+    assert np.isfinite(np.asarray(t_jax.state.flat)).all()
+
+    t_chunk = _trainer(True, population_chunk=4)
+    t_chunk.train(3)
+    np.testing.assert_allclose(
+        np.asarray(t_jax.state.flat), np.asarray(t_chunk.state.flat), rtol=2e-5, atol=2e-6
+    )
+
+    t_pallas = _trainer(True, noise_backend="pallas")
+    t_pallas.train(3)
+    assert np.isfinite(np.asarray(t_pallas.state.flat)).all()
+
+
+def test_trainer_rejects_odd_population():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _trainer(True, batch_size=7)
+
+
+def test_trainer_antithetic_off_matches_round1_behavior():
+    """antithetic=False is the default and must train identically to a
+    config that never mentions the flag."""
+    t_default = _trainer(False)
+    cfg = TrainConfig(
+        batch_size=8, learning_rate=0.05, noise_std=0.05, zeta_size=8,
+        max_strategy_history_size=4, random_seed=5,
+    )
+    t_plain = VectorizedTrainer(
+        DiscreteMLP(2, 9), TrapEnv(), distances.categorical_tvd, cfg,
+        reporter=EpochReporter(quiet=True),
+    )
+    t_default.train(3)
+    t_plain.train(3)
+    np.testing.assert_array_equal(
+        np.asarray(t_default.state.flat), np.asarray(t_plain.state.flat)
+    )

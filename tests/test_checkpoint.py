@@ -60,6 +60,40 @@ def test_checkpoint_restores_archive(tmp_path):
     assert b.handler.archive.worst_point_idx == a.handler.archive.worst_point_idx
 
 
+def test_checkpoint_resume_does_not_duplicate_archive(tmp_path):
+    """Resume must not re-submit the current flat as a fresh archive point:
+    _last_archived round-trips through the checkpoint, so the warm trainer's
+    next train() call sees the guard exactly as the saved trainer did."""
+    path = os.path.join(tmp_path, "ckpt.npz")
+
+    def make():
+        cfg = TrainConfig(
+            batch_size=8, learning_rate=0.05, noise_std=0.05, zeta_size=8,
+            max_strategy_history_size=16, random_seed=5,  # archive stays unfull
+        )
+        return VectorizedTrainer(
+            DiscreteMLP(2, 9), TrapEnv(), distances.categorical_tvd, cfg,
+            reporter=EpochReporter(quiet=True),
+        )
+
+    a = make()
+    a.train(3)
+    save_checkpoint(path, a)
+    a.train(1)
+
+    b = make()
+    load_checkpoint(path, b)
+    assert b._last_archived is not None
+    np.testing.assert_array_equal(b._last_archived, np.asarray(b.state.flat))
+    b.train(1)
+    assert len(b.handler.archive) == len(a.handler.archive)
+    # no distance-0 duplicate pair in the restored-then-trained archive
+    flats = [p.flat for p in b.handler.archive.points]
+    for i in range(len(flats)):
+        for j in range(i + 1, len(flats)):
+            assert not np.array_equal(flats[i], flats[j])
+
+
 def test_checkpoint_file_is_atomic(tmp_path):
     path = os.path.join(tmp_path, "ckpt.npz")
     a = _trainer()
