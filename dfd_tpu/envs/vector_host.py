@@ -28,8 +28,15 @@ class PythonVectorEnv:
         self._done = np.zeros(n_envs, bool)
         self._last_obs = None
 
+    @staticmethod
+    def _frame(obs) -> np.ndarray:
+        # dict observations (ImpalaObsWrapper) carry reward/done alongside
+        # the frame; the evaluator tracks those itself, so the vector
+        # surface is frames-only
+        return np.asarray(obs["frame"] if isinstance(obs, dict) else obs)
+
     def reset_all(self) -> np.ndarray:
-        obs = [np.asarray(e.reset()) for e in self.envs]
+        obs = [self._frame(e.reset()) for e in self.envs]
         self._done[:] = False
         self._last_obs = np.stack(obs)
         return self._last_obs.copy()
@@ -42,7 +49,7 @@ class PythonVectorEnv:
                 dones[i] = True
                 continue
             obs, rew, done, _ = env.step(actions[i])
-            self._last_obs[i] = np.asarray(obs)
+            self._last_obs[i] = self._frame(obs)
             rews[i] = rew
             dones[i] = bool(done)
             self._done[i] = bool(done)

@@ -172,7 +172,10 @@ class FatClientRunner:
             ret = FDReturn(
                 epoch=self.epoch, encoded_noise="0", reward=rew, entropy=ent,
                 timesteps=steps, is_eval=True,
-                eval_states=[s for s in self.eval_agent.saved_states],
+                eval_states=[
+                    s["frame"] if isinstance(s, dict) else s
+                    for s in self.eval_agent.saved_states
+                ],
                 obs_stats_update=self.eval_agent.obs_stats.serialize(),
             )
             returns.append(ret)

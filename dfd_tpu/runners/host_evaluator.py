@@ -38,8 +38,6 @@ from dfd_tpu.models.base import PolicyModel
 class BatchedHostEvaluator:
     def __init__(self, model: PolicyModel, vector_env, noise: CounterNoise, sigma: float,
                  normalize_obs: bool = False):
-        if model.recurrent:
-            raise NotImplementedError("recurrent host evaluation: use the sequential worker")
         self.model = model
         self.env = vector_env
         self.noise = noise
@@ -66,7 +64,34 @@ class BatchedHostEvaluator:
             keys = jax.random.split(key, obs.shape[0])
             return jax.vmap(one)(pop_flats, obs, keys)
 
+        def act_recurrent(pop_flats, bn_state, obs, prev_rewards, carry, key, obs_mean, obs_std):
+            """One lockstep timestep for a recurrent model: each member's
+            carry (e.g. the IMPALA LSTM state) and previous reward thread
+            through the host loop — the device sees the same per-step
+            surface as the on-device rollout engine (model.act_step)."""
+            obs = jnp.asarray(obs, jnp.float32)
+            if self.normalize_obs:
+                obs = jnp.clip((obs - obs_mean) / obs_std, -10, 10)
+
+            def one(flat, o, pr, c, k):
+                params = model.set_flat(flat, xp=jnp)
+                action, ent, new_c = model.act_step(
+                    params, bn_state, o, pr, jnp.asarray(False), c, k,
+                    deterministic=jnp.asarray(False),
+                )
+                return action, ent, new_c
+
+            keys = jax.random.split(key, obs.shape[0])
+            return jax.vmap(one)(pop_flats, obs, prev_rewards, carry, keys)
+
         self._act = jax.jit(act)
+        self._act_recurrent = jax.jit(act_recurrent)
+        self._init_carry = jax.jit(
+            lambda: jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (self.n,) + x.shape),
+                model.initial_carry(),
+            )
+        )
         self._perturb = jax.jit(
             lambda flat, epoch, offset: flat[None, :]
             + sigma
@@ -98,10 +123,26 @@ class BatchedHostEvaluator:
         steps = np.zeros(n, np.int64)
         alive = np.ones(n, bool)
 
+        recurrent = self.model.recurrent
+        if recurrent:
+            carry = self._init_carry()
+            prev_rewards = jnp.zeros(n, jnp.float32)
+
         for t in range(horizon):
             key, sub = jax.random.split(key)
-            actions, entropies = self._act(pop_flats, bn_state, obs, sub, obs_mean, obs_std)
+            if recurrent:
+                actions, entropies, carry = self._act_recurrent(
+                    pop_flats, bn_state, obs, prev_rewards, carry, sub, obs_mean, obs_std
+                )
+            else:
+                actions, entropies = self._act(pop_flats, bn_state, obs, sub, obs_mean, obs_std)
             obs, rew, done = self.env.step(np.asarray(actions))
+            if recurrent:
+                # the policy consumes the previous transition's reward next
+                # step (reference utils/impala_env_wrapper.py:25-28 timing);
+                # finished members' carries/rewards go stale harmlessly —
+                # the alive mask stops their accounting
+                prev_rewards = jnp.asarray(rew, jnp.float32)
             rewards[alive] += rew[alive]
             ent_sum[alive] += np.asarray(entropies)[alive]
             steps[alive] += 1

@@ -195,10 +195,13 @@ class SequentialRunner:
         obs = self.env.reset()
         n = max(vbn_buffer_size, self.zeta_size)
         for i in range(n):
+            # dict observations (recurrent/pixel wrappers) contribute frames
+            # only — zeta/vbn buffers are plain arrays everywhere
+            frame = obs["frame"] if isinstance(obs, dict) else obs
             if i < self.zeta_size:
-                zeta.append(obs)
+                zeta.append(frame)
             if vbn_buffer_size > 0 and i < vbn_buffer_size:
-                vbn.append(obs)
+                vbn.append(frame)
             a = self._random_action()
             obs, _, done, _ = self.env.step(a)
             if done:

@@ -240,12 +240,15 @@ class ServerRunner:
         zeta, vbn = [], []
         obs = self.env.reset()
         for i in range(max(vbn_buffer_size, self.zeta_size)):
+            # dict observations (recurrent/pixel wrappers) contribute frames
+            # only — zeta/vbn buffers are plain arrays everywhere
+            frame = obs["frame"] if isinstance(obs, dict) else obs
             if self.normalize_obs:
-                self.global_obs_stats.increment(obs, 1)
+                self.global_obs_stats.increment(frame, 1)
             if i < self.zeta_size:
-                zeta.append(obs)
+                zeta.append(frame)
             if vbn_buffer_size > 0 and i < vbn_buffer_size:
-                vbn.append(obs)
+                vbn.append(frame)
             obs, _, done, _ = self.env.step(self._random_action())
             if done:
                 obs = self.env.reset()

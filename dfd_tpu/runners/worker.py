@@ -49,7 +49,12 @@ class Worker:
                 self.policy.set_trainable_flat(flat)
             else:
                 ret = self._build_return("0", is_eval)
-                ret.eval_states = [s for s in self.agent.saved_states]
+                # dict observations (recurrent/pixel envs) ship frames only:
+                # zeta and the wire carry plain CHW arrays
+                ret.eval_states = [
+                    s["frame"] if isinstance(s, dict) else s
+                    for s in self.agent.saved_states
+                ]
             returns.append(ret)
         return returns
 

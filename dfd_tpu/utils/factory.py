@@ -15,6 +15,7 @@ import numpy as np
 
 from dfd_tpu.envs.cartpole import CartPoleEnv
 from dfd_tpu.envs.pendulum import PendulumEnv
+from dfd_tpu.envs.pixelgrid import PixelGridEnv
 from dfd_tpu.envs.trap import TrapEnv
 from dfd_tpu.models import DiscreteMLP, GaussianMLP
 from dfd_tpu.models.atari import AtariCNN
@@ -27,8 +28,18 @@ JAX_ENVS = {
     "Pendulum-v1": PendulumEnv,
 }
 
+# JAX-native pixel envs paired with the IMPALA policy family (the in-image
+# stand-ins for procgen, which is not installed — reference
+# utils/init_helper.py:9-12's role).  "Small" keeps CPU test topologies fast.
+JAX_PIXEL_ENVS = {
+    "PixelGrid-v0": lambda: PixelGridEnv(grid=8, scale=8),
+    "PixelGridSmall-v0": lambda: PixelGridEnv(grid=4, scale=8, max_steps=12),
+}
+
 
 def make_jax_env(env_id: str):
+    if env_id in JAX_PIXEL_ENVS:
+        return JAX_PIXEL_ENVS[env_id]()
     if env_id not in JAX_ENVS:
         raise KeyError(f"no JAX-native env registered for {env_id!r}")
     return JAX_ENVS[env_id]()
@@ -37,6 +48,9 @@ def make_jax_env(env_id: str):
 def get_vectorized_init_data(env_id: str) -> Tuple[object, object, object]:
     """(raw JaxEnv, policy model, distance fn) for the vectorized trainer."""
     jax_env = make_jax_env(env_id)
+    if env_id in JAX_PIXEL_ENVS:
+        model = ImpalaPolicy(jax_env.obs_shape, jax_env.n_actions)
+        return jax_env, model, distances.categorical_tvd
     if jax_env.discrete:
         model = DiscreteMLP(jax_env.obs_dim, jax_env.n_actions)
         distance_fn = distances.categorical_tvd
@@ -48,6 +62,15 @@ def get_vectorized_init_data(env_id: str) -> Tuple[object, object, object]:
 
 def get_init_data(env_id: str, random_seed: int) -> Tuple[object, object, object]:
     """(host-surface env, policy model, strategy distance fn) for ``env_id``."""
+    if env_id in JAX_PIXEL_ENVS:
+        from dfd_tpu.envs.wrappers import ImpalaObsWrapper
+        from dfd_tpu.runners.host_env import HostEnv
+
+        jax_env = make_jax_env(env_id)
+        env = ImpalaObsWrapper(HostEnv(jax_env, seed=random_seed))
+        model = ImpalaPolicy(jax_env.obs_shape, jax_env.n_actions)
+        return env, model, distances.categorical_tvd
+
     if env_id in JAX_ENVS:
         from dfd_tpu.runners.host_env import HostEnv  # lazy: avoids a package cycle
 

@@ -244,3 +244,49 @@ def test_thin_client_against_counter_server():
     assert server.learner.discarded_returns == 0
     assert len(reporter.history) >= 1
     ct.join(timeout=30)
+
+
+def test_fat_client_impala_pixelgrid_e2e():
+    """The recurrent flagship through the elastic topology: an IMPALA fat
+    client (batched LSTM carries on device) trains against a counter-noise
+    server on the JAX-native pixel grid — the deployment shape of
+    BASELINE config [4] (reference run_client.py's host-bound worker role)."""
+    from dfd_tpu.runners.fat_client import FatClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="PixelGridSmall-v0",
+        batch_size=4,
+        zeta_size=4,
+        max_strategy_history_size=4,
+        normalize_obs=False,
+        random_seed=11,
+        port=0,
+        noise_kind="counter",
+        reporter=reporter,
+        timestep_limit=10_000_000,
+        eval_prob=0.5,
+    )
+
+    result = {}
+
+    def client_main():
+        for _ in range(200):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        runner = FatClientRunner(n_envs=4, port=server.bound_port)
+        result["ok"] = runner.run(max_windows=20)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=2), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=300)
+    assert not st.is_alive(), "server loop did not finish"
+    assert len(reporter.history) >= 1
+    assert np.isfinite(reporter.history[0]["Noisy Reward"])
+    assert server.learner.discarded_returns == 0
+    ct.join(timeout=60)
