@@ -4,6 +4,7 @@ from dfd_tpu.runners.fat_client import FatClientRunner
 from dfd_tpu.runners.host_evaluator import BatchedHostEvaluator
 from dfd_tpu.runners.policy import HostPolicy, NumpySampler
 from dfd_tpu.runners.sequential import SequentialRunner
+from dfd_tpu.runners.slice_client import SliceClientRunner
 from dfd_tpu.runners.vectorized import TrainState, VectorizedTrainer
 from dfd_tpu.runners.worker import Worker
 
@@ -16,6 +17,7 @@ __all__ = [
     "HostPolicy",
     "NumpySampler",
     "SequentialRunner",
+    "SliceClientRunner",
     "VectorizedTrainer",
     "TrainState",
 ]

@@ -1,0 +1,193 @@
+"""A TPU slice acting as ONE elastic client: device-evaluated population
+shards feeding the distributed learner.
+
+This closes the staleness loop docs/ASYNC.md section 2 sketches — the TPU
+mapping of the reference's delayed-return machinery (reference
+learner/finite_differences.py:66-92 and run_client.py's worker role): the
+slice evaluates a whole population shard per window with the vectorized
+on-device engine (vmap(P) x lax.scan(T), fd/rollout.py), at whatever
+broadcast parameters it last applied.  Every return is counter-encoded
+"(epoch, member)", so if the server has advanced Delta epochs by the time
+the shard lands, the learner regenerates the noise and drift-corrects it
+through the policy-history distance map instead of discarding the work.
+
+Requires the server to run with ``noise_kind="counter"`` on a JAX-native
+env id; the shared base seed ships in the wire cfg (never client-minted).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.core.noise import CounterNoise
+from dfd_tpu.core.welford import Welford
+from dfd_tpu.distributed.client import FDClient
+from dfd_tpu.fd import rollout as fd_rollout
+from dfd_tpu.fd.returns import FDReturn
+
+
+class SliceClientRunner:
+    def __init__(
+        self,
+        n_members: int = 64,
+        address: str = "localhost",
+        port: int = 1025,
+        apply_state_every: int = 1,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        mesh_axis: str = "pop",
+    ):
+        """``apply_state_every``: apply NEW_STATE broadcasts only every k-th
+        window — k>1 deliberately lags the shard's epoch tag behind the
+        server (the staleness regime the drift correction exists for;
+        in production the lag arises from compute/transfer time instead).
+
+        ``mesh``: optional device mesh; the population shard is sharded over
+        its ``mesh_axis`` so one slice-client spans all local chips."""
+        self.n_members = n_members
+        self.address, self.port = address, port
+        self.apply_state_every = max(int(apply_state_every), 1)
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self.client = FDClient()
+        self.windows = 0
+        self.epoch = 0
+
+    def run(self, max_windows: Optional[int] = None, reconnect_attempts: int = 60) -> bool:
+        client = self.client
+        client.connect(address=self.address, port=self.port)
+
+        status = client.get_server_state()
+        while status != FDClient.NEW_EXPERIMENT_FLAG:
+            time.sleep(1 if status == FDClient.RPC_FAILED_FLAG else 0.2)
+            status = client.get_server_state()
+        self._configure(client.current_state.cfg)
+        self._apply_state(client.current_state)
+
+        while max_windows is None or self.windows < max_windows:
+            self.windows += 1
+            returns = self._collect_window()
+            client.submit_returns(returns)
+
+            status = client.get_server_state()
+            if status == FDClient.RPC_FAILED_FLAG:
+                recovered = False
+                for _ in range(reconnect_attempts):
+                    time.sleep(1)
+                    status = client.get_server_state()
+                    if status != FDClient.RPC_FAILED_FLAG:
+                        recovered = True
+                        break
+                if not recovered:
+                    client.disconnect()
+                    return False
+            if status == FDClient.NEW_EXPERIMENT_FLAG:
+                self._configure(client.current_state.cfg)
+                self._apply_state(client.current_state)
+            elif status == FDClient.NEW_STATE_FLAG and (
+                self.windows % self.apply_state_every == 0
+            ):
+                self._apply_state(client.current_state)
+
+        client.disconnect()
+        return True
+
+    # -- internals ---------------------------------------------------------------
+
+    def _configure(self, cfg: dict) -> None:
+        if cfg.get("noise_kind") != "counter":
+            raise RuntimeError("slice clients need the server started with noise_kind='counter'")
+        from dfd_tpu.utils.factory import get_vectorized_init_data
+
+        env_id = cfg["env_id"]
+        self._seed = int(cfg["random_seed"])
+        sigma = float(cfg["noise_std"])
+        self.sigma = sigma
+        self.normalize_obs = bool(cfg["normalize_obs"])
+        self.obs_stats_update_chance = float(cfg["obs_stats_update_chance"])
+        self.antithetic = bool(cfg.get("antithetic", False))
+        if self.antithetic and self.n_members % 2 != 0:
+            raise RuntimeError("antithetic mode needs an even shard size")
+
+        env, model, _dist = get_vectorized_init_data(env_id)
+        self.model = model
+        self.env = env
+        self.horizon = env.max_episode_steps
+        self.noise = CounterNoise(
+            model.num_params, random_seed=int(cfg["noise_seed"]), antithetic=self.antithetic
+        )
+        self.fixed_obs_stats = Welford(model.input_shape)
+        _, self.bn_state = model.init(self._seed)
+        self.flat = None
+        self._key = jax.random.key(self._seed)
+
+        P = self.n_members
+        noise = self.noise
+        horizon = self.horizon
+        normalize_obs = self.normalize_obs
+        chance = self.obs_stats_update_chance
+
+        def eval_shard(flat, epoch, member_ids, bn_state, key, obs_mean, obs_std):
+            eps = jax.vmap(lambda i: noise.generate(epoch, i))(member_ids)
+            pop_flats = self._shard(flat[None, :] + sigma * eps)
+            pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(member_ids)
+            res = fd_rollout.population_rollout(
+                model, env, pop_params, bn_state, keys, horizon,
+                obs_mean=obs_mean, obs_std=obs_std,
+                normalize_obs=normalize_obs,
+                obs_stats_update_chance=chance,
+                collect_states=False,
+            )
+            return res.reward, res.entropy, res.steps
+
+        self._eval_shard = jax.jit(eval_shard)
+
+    def _shard(self, x):
+        if self.mesh is None:
+            return x
+        spec = jax.sharding.PartitionSpec(self.mesh_axis, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    def _apply_state(self, state) -> None:
+        # the wire ships the full state_dict view (params + BN buffers)
+        flat_params, bn_state = self.model.deserialize(
+            np.asarray(state.policy_params, np.float32), xp=np
+        )
+        self.flat = self.model.get_flat(flat_params)
+        self.bn_state = jax.tree.map(jnp.asarray, bn_state)
+        self.epoch = state.epoch
+        if state.obs_stats is not None:
+            self.fixed_obs_stats.deserialize(state.obs_stats)
+
+    def _collect_window(self):
+        self._key, sub = jax.random.split(self._key)
+        offset = ((self._seed * 2654435761) ^ (self.windows * 131)) & 0x3FFFFFFF
+        if self.antithetic:
+            offset &= ~1  # complete +-eps pairs per shard
+        member_ids = offset + jnp.arange(self.n_members)
+        obs_mean = jnp.asarray(self.fixed_obs_stats.mean, jnp.float32)
+        obs_std = jnp.asarray(self.fixed_obs_stats.std, jnp.float32)
+        rewards, entropies, steps = self._eval_shard(
+            jnp.asarray(self.flat), self.epoch, member_ids, self.bn_state,
+            sub, obs_mean, obs_std,
+        )
+        rewards = np.asarray(rewards)
+        entropies = np.asarray(entropies)
+        steps = np.asarray(steps)
+        return [
+            FDReturn(
+                epoch=self.epoch,
+                encoded_noise="{},{}".format(self.epoch, int(offset) + i),
+                reward=float(rewards[i]),
+                entropy=float(entropies[i]),
+                timesteps=int(steps[i]),
+            )
+            for i in range(self.n_members)
+        ]

@@ -290,3 +290,105 @@ def test_fat_client_impala_pixelgrid_e2e():
     assert np.isfinite(reporter.history[0]["Noisy Reward"])
     assert server.learner.discarded_returns == 0
     ct.join(timeout=60)
+
+
+def test_slice_client_stale_shard_drift_correction_oracle():
+    """A counter-encoded shard arriving at epoch k-Delta must be
+    drift-corrected exactly: lambda = sigma*eps(k-Delta, m) +
+    (theta_hist[k-Delta] - theta_now), perturbation = lambda/||lambda||^2
+    (reference learner/finite_differences.py:80-92, 105-112)."""
+    from dfd_tpu.core.noise import CounterNoise
+    from dfd_tpu.fd import AdaptiveOmega, DSGD, FDLearner
+
+    d, sigma = 40, 0.1
+    rng = np.random.RandomState(0)
+    flat0 = rng.randn(d).astype(np.float32)
+    noise = CounterNoise(d, random_seed=9)
+    learner = FDLearner(flat0, DSGD(d, lr=0.05), AdaptiveOmega(), noise,
+                        noise_std=sigma, max_delayed_return=5)
+
+    history = {0: learner.flat.copy()}
+    # advance 3 epochs with fresh (epoch-current) counter shards
+    for epoch in range(3):
+        rets = [
+            FDReturn(epoch=epoch, encoded_noise=f"{epoch},{m}",
+                     reward=float(rng.randn()), timesteps=10)
+            for m in range(6)
+        ]
+        assert learner.step(rets, 0.0, 0.0, 0.0) > 0
+        history[learner.epoch] = learner.flat.copy()
+
+    # now submit one shard tagged epoch 1 (Delta = 2)
+    stale = FDReturn(epoch=1, encoded_noise="1,777", reward=1.0, timesteps=10)
+    fresh = [
+        FDReturn(epoch=3, encoded_noise=f"3,{m}", reward=float(rng.randn()), timesteps=10)
+        for m in range(3)
+    ]
+    theta_now = learner.flat.copy()
+    assert learner.step([stale] + fresh, 0.0, 0.0, 0.0) > 0
+    assert learner.discarded_returns == 0
+
+    eps = np.asarray(CounterNoise(d, random_seed=9).generate(1, 777))
+    lam = eps * sigma + (history[1] - theta_now)
+    # ret.perturbation holds the drift-corrected lambda; the 1/||lambda||^2
+    # normalization is applied to the combine list, not the return object
+    np.testing.assert_allclose(np.asarray(stale.perturbation), lam, rtol=1e-5, atol=1e-7)
+
+    # a shard older than the history window is discarded, not corrected
+    too_old = FDReturn(epoch=-3, encoded_noise="-3,1", reward=1.0, timesteps=10)
+    learner.step([too_old] + [
+        FDReturn(epoch=4, encoded_noise=f"4,{m}", reward=float(rng.randn()), timesteps=10)
+        for m in range(3)
+    ], 0.0, 0.0, 0.0)
+    assert learner.discarded_returns == 1
+
+
+def test_slice_client_distributed_training_with_staleness():
+    """The vectorized on-device engine as ONE elastic client (docs/ASYNC.md
+    section 2): population shards evaluated under vmap(P) x scan(T) feed the
+    counter-noise server; applying broadcasts only every 3rd window forces
+    shards to land epochs late, exercising the live drift-correction path
+    (Delayed Ratio > 0) without any discards."""
+    from dfd_tpu.runners.slice_client import SliceClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0",
+        batch_size=6,
+        zeta_size=4,
+        max_strategy_history_size=4,
+        normalize_obs=False,
+        random_seed=41,
+        port=0,
+        noise_kind="counter",
+        reporter=reporter,
+        timestep_limit=10_000_000,
+    )
+
+    result = {}
+
+    def client_main():
+        for _ in range(200):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        runner = SliceClientRunner(n_members=6, port=server.bound_port,
+                                   apply_state_every=3)
+        result["ok"] = runner.run(max_windows=40)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=4), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=300)
+    assert not st.is_alive(), "server loop did not finish"
+    assert len(reporter.history) >= 2
+    assert np.isfinite(reporter.history[0]["Noisy Reward"])
+    # stale shards were drift-corrected, never discarded
+    assert server.learner.discarded_returns == 0
+    assert any(row["Delayed Ratio"] > 0 for row in reporter.history), (
+        [row["Delayed Ratio"] for row in reporter.history]
+    )
+    ct.join(timeout=60)

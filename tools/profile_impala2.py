@@ -23,7 +23,7 @@ import numpy as np
 from dfd_tpu.models.impala import CHANNELS, ImpalaPolicy
 from dfd_tpu.models.atari import batchnorm2d_eval
 
-K = 16  # chained iterations per timed dispatch
+K = 8  # chained iterations per timed dispatch
 
 
 def chain(fn):
@@ -40,7 +40,7 @@ def chain(fn):
     return run
 
 
-def timeit(fn, *args, n=5):
+def timeit(fn, *args, n=3):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
