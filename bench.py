@@ -1,13 +1,18 @@
-"""Benchmark: aggregate env-steps/s of vectorized FD population evaluation.
+"""Benchmark suite: aggregate env-steps/s of vectorized FD population
+evaluation across the four policy families.
 
-Runs the full training pipeline (population perturb + rollout + novelty +
-eval + combine + DSGD + omega/zeta/stats) as in-graph scanned epochs on the
-default platform (the real TPU chip under the driver) and reports one JSON
-line on stdout.
+Each config runs the full training pipeline (population perturb + rollout +
+novelty + eval + combine + DSGD + omega/zeta/stats) as chained jitted epochs
+on the default platform (the real TPU chip under the driver).
 
 Baseline: the driver north star is >= 1,000,000 env-steps/s aggregate on a
 TPU v4-16 (8 chips) => 125,000 steps/s/chip.  ``vs_baseline`` is measured
 steps/s on this single chip divided by that per-chip target.
+
+Output contract: ONE JSON line.  The headline metric stays the round-1
+whole-pipeline MLP number (so BENCH_r*.json stays comparable across rounds);
+the ``suite`` field carries all four family measurements so the hard cases
+are recorded too (Gaussian-MLP control, pixel CNN, IMPALA ResNet+LSTM).
 """
 
 import json
@@ -17,8 +22,13 @@ import time
 import jax
 
 from dfd_tpu.config import TrainConfig
+from dfd_tpu.envs.pixelgrid import PixelGridEnv
+from dfd_tpu.envs.procmaze import ProcMazeEnv
+from dfd_tpu.envs.swimmer import SwimmerEnv
 from dfd_tpu.envs.trap import TrapEnv
-from dfd_tpu.models import DiscreteMLP
+from dfd_tpu.models import DiscreteMLP, GaussianMLP
+from dfd_tpu.models.atari import AtariCNN
+from dfd_tpu.models.impala import ImpalaPolicy
 from dfd_tpu.ops import distances
 from dfd_tpu.runners.vectorized import VectorizedTrainer
 from dfd_tpu.utils.metrics import EpochReporter
@@ -26,30 +36,13 @@ from dfd_tpu.utils.metrics import EpochReporter
 PER_CHIP_TARGET = 1_000_000 / 8  # north-star aggregate over a v4-16
 
 
-def main():
-    P = 2048
-    cfg = TrainConfig(
-        batch_size=P,
-        learning_rate=0.05,
-        noise_std=0.05,
-        zeta_size=64,
-        max_strategy_history_size=16,
-        random_seed=0,
-        scan_unroll=8,
-    )
-    tr = VectorizedTrainer(
-        DiscreteMLP(2, 9), TrapEnv(), distances.categorical_tvd, cfg,
-        reporter=EpochReporter(quiet=True),
-    )
-
-    # warmup / compile
+def bench_config(name, model, env, distance_fn, cfg, n_epochs):
+    """Steady-state steps/s of chained jitted epochs (host out of the loop)."""
+    tr = VectorizedTrainer(model, env, distance_fn, cfg, reporter=EpochReporter(quiet=True))
     archive, count = tr._archive_inputs()
-    state, metrics = tr._step(tr.state, archive, count)
+    state, _ = tr._step(tr.state, archive, count)  # warmup / compile
     jax.block_until_ready(state.flat)
 
-    # steady state: epochs chain through the state dependency; host stays out
-    # of the loop (the strategy-archive refresh is amortized in production)
-    n_epochs = 30
     timesteps = []
     t0 = time.perf_counter()
     for _ in range(n_epochs):
@@ -58,20 +51,77 @@ def main():
     jax.block_until_ready(state.flat)
     dt = time.perf_counter() - t0
     steps_total = int(sum(int(t) for t in timesteps))
-
     steps_per_s = steps_total / dt
     print(
-        f"[bench] {steps_total} env-steps in {dt:.2f}s over {n_epochs} chained jitted epochs "
-        f"(P={P}, horizon=201)",
+        f"[bench:{name}] {steps_total} env-steps in {dt:.2f}s over {n_epochs} epochs "
+        f"-> {steps_per_s:,.0f} steps/s",
         file=sys.stderr,
     )
+    return steps_per_s
+
+
+def main():
+    suite = {}
+
+    # [0] discrete MLP on the trap env — the round-1 headline config
+    suite["mlp_trap"] = bench_config(
+        "mlp_trap",
+        DiscreteMLP(2, 9),
+        TrapEnv(),
+        distances.categorical_tvd,
+        TrainConfig(batch_size=2048, learning_rate=0.05, noise_std=0.05,
+                    zeta_size=64, max_strategy_history_size=16, random_seed=0,
+                    scan_unroll=8),
+        n_epochs=30,
+    )
+
+    # [2] Gaussian MLP on the JAX-native swimmer (16-obs/6-action locomotion)
+    suite["gaussian_swimmer"] = bench_config(
+        "gaussian_swimmer",
+        GaussianMLP(16, 6),
+        SwimmerEnv(max_steps=100),
+        distances.gaussian_wasserstein_from_strategies,
+        TrainConfig(batch_size=256, zeta_size=16, max_strategy_history_size=8,
+                    episode_length=100, random_seed=0, normalize_obs=True),
+        n_epochs=10,
+    )
+
+    # [3] Atari CNN on the pixel grid (deepmind-style 0-1 frames)
+    env_cnn = PixelGridEnv(grid=8, scale=8, max_steps=40, intensity=1.0)
+    suite["cnn_pixelgrid"] = bench_config(
+        "cnn_pixelgrid",
+        AtariCNN((64, 64), env_cnn.n_actions, in_channels=3),
+        env_cnn,
+        distances.categorical_tvd,
+        TrainConfig(batch_size=128, zeta_size=16, max_strategy_history_size=8,
+                    episode_length=40, random_seed=0),
+        n_epochs=10,
+    )
+
+    # [4] IMPALA ResNet+LSTM on the procgen-shaped maze (the flagship)
+    env_imp = ProcMazeEnv(grid=8, scale=8, max_steps=40, num_levels=200)
+    suite["impala_procmaze"] = bench_config(
+        "impala_procmaze",
+        ImpalaPolicy(env_imp.obs_shape, env_imp.n_actions),
+        env_imp,
+        distances.categorical_tvd,
+        TrainConfig(batch_size=64, zeta_size=8, max_strategy_history_size=4,
+                    episode_length=40, random_seed=0),
+        n_epochs=10,
+    )
+
+    headline = suite["mlp_trap"]
     print(
         json.dumps(
             {
                 "metric": "fd_eval_env_steps_per_s_single_chip",
-                "value": round(steps_per_s, 1),
+                "value": round(headline, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / PER_CHIP_TARGET, 3),
+                "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
+                "suite": {k: round(v, 1) for k, v in suite.items()},
+                "suite_vs_per_chip_target": {
+                    k: round(v / PER_CHIP_TARGET, 3) for k, v in suite.items()
+                },
             }
         )
     )

@@ -147,6 +147,35 @@ def cmd_sweep(args) -> int:
         trainer.train_fast(args.epochs)
         return trainer.reporter.history
 
+    if args.wandb:
+        # delegate the search to a wandb random-search agent (the
+        # reference's sweep entry, run_server.py:245-281)
+        from dfd_tpu.utils.sweep import wandb_sweep
+
+        def factory(wandb_run=None, **params):
+            env, model, distance_fn = get_vectorized_init_data(args.env)
+            cfg = TrainConfig(
+                env_id=args.env,
+                learning_rate=params["learning_rate"],
+                noise_std=params["noise_std"],
+                batch_size=int(params["batch_size"]),
+                zeta_size=args.zeta_size,
+                max_strategy_history_size=args.history_size,
+                random_seed=args.seed,
+            )
+            return VectorizedTrainer(
+                model, env, distance_fn, cfg,
+                reporter=EpochReporter(wandb_run=wandb_run, quiet=True),
+            )
+
+        sweep_id = wandb_sweep(
+            factory, sweep_id=args.sweep_id,
+            project=args.wandb_project or "dfd-tpu-sweep",
+            count=args.trials, train_epochs=args.epochs,
+        )
+        print("sweep:", sweep_id)
+        return 0
+
     result = random_search(run_trial, n_trials=args.trials, seed=args.seed)
     print("best:", result.best.params, "score:", result.best.score)
     return 0
@@ -197,6 +226,10 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--trials", type=int, default=10)
     p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--wandb", action="store_true",
+                   help="delegate to a wandb sweep agent instead of the local search")
+    p.add_argument("--sweep-id", default=None,
+                   help="join an existing wandb sweep instead of creating one")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("bench", help="throughput benchmark")

@@ -16,6 +16,8 @@ import numpy as np
 from dfd_tpu.envs.cartpole import CartPoleEnv
 from dfd_tpu.envs.pendulum import PendulumEnv
 from dfd_tpu.envs.pixelgrid import PixelGridEnv
+from dfd_tpu.envs.procmaze import ProcMazeEnv
+from dfd_tpu.envs.swimmer import SwimmerEnv
 from dfd_tpu.envs.trap import TrapEnv
 from dfd_tpu.models import DiscreteMLP, GaussianMLP
 from dfd_tpu.models.atari import AtariCNN
@@ -26,6 +28,9 @@ JAX_ENVS = {
     "SimpleTrapEnv-v0": TrapEnv,
     "CartPole-v1": CartPoleEnv,
     "Pendulum-v1": PendulumEnv,
+    # HalfCheetah-class continuous locomotion (16-dim obs, 6 torque actions,
+    # contact-free Lagrangian physics) — the JAX-native config-[2] stand-in
+    "Swimmer-v0": SwimmerEnv,
 }
 
 # JAX-native pixel envs paired with the IMPALA policy family (the in-image
@@ -34,6 +39,10 @@ JAX_ENVS = {
 JAX_PIXEL_ENVS = {
     "PixelGrid-v0": lambda: PixelGridEnv(grid=8, scale=8),
     "PixelGridSmall-v0": lambda: PixelGridEnv(grid=4, scale=8, max_steps=12),
+    # procgen-shaped: deterministic levels, procedural layouts, level-keyed
+    # palettes; easy/hard mirror procgen's distribution_mode split
+    "ProcMaze-v0": lambda: ProcMazeEnv(num_levels=200, distribution_mode="easy"),
+    "ProcMazeHard-v0": lambda: ProcMazeEnv(num_levels=10000, distribution_mode="hard"),
 }
 
 

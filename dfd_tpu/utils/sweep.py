@@ -61,3 +61,61 @@ def random_search(
         score = float(np.mean(vals)) if vals else float("-inf" if maximize else "inf")
         trials.append(Trial(params=params, score=score, history_len=len(history)))
     return SweepResult(trials=trials, metric=metric, maximize=maximize)
+
+
+# -- wandb-native sweep agent (reference run_server.py:245-281) ----------------
+
+REFERENCE_SWEEP_CONFIG: Dict[str, Any] = {
+    "method": "random",
+    "metric": {"goal": "maximize", "name": "Policy Reward"},
+    "parameters": {k: {"values": list(v)} for k, v in DEFAULT_SPACE.items()},
+}
+
+
+def wandb_sweep(
+    runner_factory: Callable[..., Any],
+    sweep_config: Optional[Dict[str, Any]] = None,
+    sweep_id: Optional[str] = None,
+    project: str = "dfd-tpu-sweep",
+    count: int = 180,
+    train_epochs: Optional[int] = None,
+    _wandb=None,
+) -> str:
+    """Delegate the search to a wandb random-search agent, exactly the
+    reference's sweep entry (reference run_server.py:245-281): build (or
+    reuse) a sweep, then run ``wandb.agent`` whose trial function constructs
+    a runner from ``run.config`` and trains it, logging through the run.
+
+    ``runner_factory(wandb_run=..., learning_rate=..., noise_std=...,
+    batch_size=...)`` must return an object with ``train(n)`` (sequential /
+    vectorized cadence) or ``train()`` (server cadence, when
+    ``train_epochs`` is None).  Returns the sweep id so agents on other
+    hosts can join the same sweep.
+    """
+    wandb = _wandb
+    if wandb is None:
+        try:
+            import wandb  # type: ignore
+        except ImportError as e:
+            raise RuntimeError(
+                "wandb is not installed; use random_search() for the "
+                "self-contained local sweep"
+            ) from e
+
+    cfg = sweep_config or REFERENCE_SWEEP_CONFIG
+    if sweep_id is None:
+        sweep_id = wandb.sweep(sweep=cfg, project=project)
+
+    def trial_fn():
+        run = wandb.init(project=project)
+        runner = runner_factory(
+            wandb_run=run,
+            **{k: run.config[k] for k in cfg["parameters"]},
+        )
+        if train_epochs is None:
+            runner.train()
+        else:
+            runner.train(train_epochs)
+
+    wandb.agent(sweep_id, function=trial_fn, count=count, project=project)
+    return sweep_id

@@ -121,3 +121,200 @@ def test_vectorized_trainer_learns_cartpole():
     first = np.mean([r["Noisy Reward"] for r in h[:3]])
     last = np.mean([r["Noisy Reward"] for r in h[-3:]])
     assert last > first, (first, last)
+
+
+# -- Swimmer: HalfCheetah-class JAX-native continuous locomotion ---------------
+
+
+def _swimmer_rollout(env, key, policy_fn, T=150):
+    import jax
+    import jax.numpy as jnp
+
+    s, o = env.reset(key)
+    x0 = env._com_x(s.q)
+
+    def body(carry, t):
+        s, o, rew = carry
+        a = policy_fn(o, t)
+        s2, o2, r, d = env.step(s, a)
+        return (s2, o2, rew + r), jnp.abs(o2).max()
+
+    (sf, _, total), mx = jax.lax.scan(body, (s, o, jnp.float32(0)), jnp.arange(T))
+    return total, env._com_x(sf.q) - x0, mx.max()
+
+
+def test_swimmer_shapes_and_stability():
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.swimmer import SwimmerEnv
+
+    env = SwimmerEnv()
+    assert env.obs_shape == (16,)
+    assert env.action_dim == 6 and not env.discrete
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (16,)
+
+    def rand_policy(o, t):
+        return jax.random.uniform(jax.random.fold_in(jax.random.key(9), t), (6,),
+                                  minval=-1.0, maxval=1.0)
+
+    total, dx, mx = jax.jit(lambda k: _swimmer_rollout(env, k, rand_policy))(jax.random.key(1))
+    assert np.isfinite(float(total))
+    # implicit drag integration keeps velocities bounded under any torques
+    assert float(mx) < 20.0
+
+
+def test_swimmer_wave_gait_locomotes():
+    """A traveling-wave gait must move the center of mass far beyond the
+    passive noise floor — the locomotion signal FD training climbs."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.swimmer import SwimmerEnv
+
+    env = SwimmerEnv()
+
+    def wave(o, t):
+        k = jnp.arange(6, dtype=jnp.float32)
+        return jnp.sin(0.4 * t.astype(jnp.float32) + 0.8 * k)
+
+    def zero(o, t):
+        return jnp.zeros(6)
+
+    f = jax.jit(lambda k: _swimmer_rollout(env, k, wave))
+    z = jax.jit(lambda k: _swimmer_rollout(env, k, zero))
+    wave_dx = np.mean([float(f(jax.random.key(s))[1]) for s in (1, 2, 3)])
+    zero_dx = np.mean([abs(float(z(jax.random.key(s))[1])) for s in (1, 2, 3)])
+    assert wave_dx > 1.0, wave_dx
+    assert wave_dx > 3 * zero_dx, (wave_dx, zero_dx)
+
+
+def test_swimmer_passive_energy_bounded():
+    """With zero torque the viscous drag dissipates: joint velocities damp
+    out fast; the body's translational coasting decays too (slowly — the
+    tangential drag is deliberately low, that's the swimming anisotropy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.swimmer import SwimmerEnv
+
+    env = SwimmerEnv()
+    s, _ = env.reset(jax.random.key(4))
+    s = s._replace(qdot=s.qdot.at[:].set(1.0))
+
+    def ke(st):
+        M, _, _ = env._terms(st.q, st.qdot)
+        return 0.5 * st.qdot @ M @ st.qdot
+
+    def body(carry, _):
+        st = carry
+        st2, _, _, _ = env.step(st, jnp.zeros(6))
+        return st2, ke(st2)
+
+    sf, kes = jax.lax.scan(body, s, None, length=300)
+    kes = np.asarray(kes)
+    assert float(jnp.abs(sf.qdot[3:]).max()) < 0.05   # joints at rest
+    assert kes[-1] < 0.1 * kes[0]                      # drag dissipates
+    assert (np.diff(kes) < 1e-3).all()                 # monotone decay
+
+
+def test_swimmer_factory_routing():
+    from dfd_tpu.models import GaussianMLP
+    from dfd_tpu.utils.factory import get_vectorized_init_data
+
+    env, model, dist = get_vectorized_init_data("Swimmer-v0")
+    assert isinstance(model, GaussianMLP)
+    assert model.input_shape == 16 and model.output_shape == 6
+
+
+# -- ProcMaze: procgen-shaped deterministic levels ------------------------------
+
+
+def test_procmaze_levels_deterministic_and_varied():
+    import jax
+
+    from dfd_tpu.envs.procmaze import ProcMazeEnv
+
+    env = ProcMazeEnv(num_levels=50)
+    s1, g1, w1, t1 = env._gen_level(7)
+    s2, g2, w2, t2 = env._gen_level(7)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    diffs = sum(
+        int(not np.array_equal(np.asarray(env._gen_level(i)[2]), np.asarray(w1)))
+        for i in range(8)
+    )
+    assert diffs >= 6  # layouts genuinely vary across levels
+
+
+def test_procmaze_l_corridor_always_clear():
+    from dfd_tpu.envs.procmaze import ProcMazeEnv
+
+    env = ProcMazeEnv(distribution_mode="hard", num_levels=100)
+    for level in range(25):
+        start, goal, walls, _ = env._gen_level(level)
+        start, goal, walls = np.asarray(start), np.asarray(goal), np.asarray(walls)
+        assert not walls[start[0]].any()        # start row clear
+        assert not walls[:, goal[1]].any()      # goal column clear
+
+
+def test_procmaze_walls_block_moves():
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.procmaze import ProcMazeEnv, ProcMazeState
+
+    env = ProcMazeEnv()
+    walls = jnp.zeros((8, 8), bool).at[3, 4].set(True)
+    state = ProcMazeState(
+        agent=jnp.asarray([3, 3]), goal=jnp.asarray([7, 7]), walls=walls,
+        tint=jnp.full((3,), 255.0), t=jnp.asarray(0, jnp.int32),
+    )
+    new_state, _, _, _ = env.step(state, 4)  # right, into the wall
+    np.testing.assert_array_equal(np.asarray(new_state.agent), [3, 3])
+    new_state, _, _, _ = env.step(state, 2)  # down, free
+    np.testing.assert_array_equal(np.asarray(new_state.agent), [4, 3])
+
+
+def test_procmaze_reset_within_level_range_and_render():
+    import jax
+
+    from dfd_tpu.envs.procmaze import ProcMazeEnv
+
+    env = ProcMazeEnv(num_levels=3, start_level=10)
+    state, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (3, 64, 64)
+    o = np.asarray(obs)
+    assert o.max() > 100  # tinted intensities
+    assert o.min() == 0.0
+
+    # same key -> same level -> identical layout
+    state2, obs2 = env.reset(jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(state.walls), np.asarray(state2.walls))
+
+
+def test_procmaze_trains_a_step():
+    """One vectorized-trainer epoch end-to-end with the IMPALA policy."""
+    from dfd_tpu.config import TrainConfig
+    from dfd_tpu.models.impala import ImpalaPolicy
+    from dfd_tpu.ops import distances
+    from dfd_tpu.runners.vectorized import VectorizedTrainer
+    from dfd_tpu.utils.factory import get_vectorized_init_data
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    env, model, dist = get_vectorized_init_data("ProcMaze-v0")
+    assert isinstance(model, ImpalaPolicy)
+
+    from dfd_tpu.envs.procmaze import ProcMazeEnv
+
+    env = ProcMazeEnv(grid=4, scale=4, max_steps=6, num_levels=5)
+    model = ImpalaPolicy(env.obs_shape, env.n_actions)
+    cfg = TrainConfig(batch_size=2, zeta_size=4, max_strategy_history_size=4,
+                      episode_length=6, random_seed=0)
+    tr = VectorizedTrainer(model, env, distances.categorical_tvd, cfg,
+                           reporter=EpochReporter(quiet=True))
+    tr.train(1)
+    assert int(tr.state.epoch) == 1
+    assert np.isfinite(tr.reporter.history[0]["Noisy Reward"])

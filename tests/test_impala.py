@@ -159,3 +159,55 @@ def test_impala_bf16_compute_close_to_f32():
     b = np.asarray(bf.apply(params, state, frames))
     assert b.dtype == np.float32  # accumulation and head stay f32
     np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_impala_vbn_matches_torch_full_model():
+    """Full-model VBN parity: one train-mode forward over a buffer must
+    update EVERY BatchNorm's running stats exactly like the reference's
+    compute_vbn (reference policies/policy.py:31-34 + policies/impala.py:12-16),
+    including the fc/policy BNs downstream of the LSTM."""
+    import torch
+
+    ref = load_reference()
+    theirs = _ref_policy(ref, 21)
+    ours = ImpalaPolicy(FRAME, A)
+    params = ours.set_flat(theirs.get_trainable_flat())
+    _, state = ours.init(21)
+
+    rng = np.random.RandomState(3)
+    N = 6
+    frames = (rng.rand(N, *FRAME) * 255).astype(np.float32)
+    rewards = rng.randn(N).astype(np.float32)
+
+    buffer = [
+        {
+            "frame": torch.as_tensor(frames[i]).view(1, 1, *FRAME),
+            "reward": torch.as_tensor(float(rewards[i])).view(1, 1),
+            "done": torch.zeros(1, 1, dtype=torch.bool),
+        }
+        for i in range(N)
+    ]
+    with torch.no_grad():
+        theirs.compute_vbn(buffer)
+    sd = theirs.state_dict()
+
+    new_state = ours.vbn(params, state, frames, rewards=rewards)
+
+    pairs = [("model.0.fc.0", "fc_bn"), ("model.0.policy.0", "policy_bn")]
+    for k in range(3):
+        pairs.append((f"model.0.feat_convs.{k}.0", f"feat{k}_bn"))
+        for r in (1, 2):
+            pairs.append((f"model.0.resnet{r}.{k}.0", f"res{r}_{k}_bn1"))
+            pairs.append((f"model.0.resnet{r}.{k}.3", f"res{r}_{k}_bn2"))
+    assert len(pairs) == 2 + 3 * 5
+    for tkey, name in pairs:
+        np.testing.assert_allclose(
+            np.asarray(new_state[name]["mean"]),
+            sd[f"{tkey}.running_mean"].numpy(),
+            rtol=2e-4, atol=1e-5, err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state[name]["var"]),
+            sd[f"{tkey}.running_var"].numpy(),
+            rtol=2e-4, atol=1e-5, err_msg=name,
+        )

@@ -99,3 +99,58 @@ def test_profiler_trace_writes(tmp_path):
 
     assert any("plugins" in d or "trace" in str(f).lower()
                for d, _, fs in os.walk(tmp_path) for f in fs) or os.listdir(tmp_path)
+
+
+def test_wandb_sweep_delegates_to_agent():
+    """The wandb-native sweep entry (reference run_server.py:245-281):
+    builds the reference-shaped sweep config, registers it, and runs the
+    agent whose trial function constructs a runner from run.config —
+    validated against a fake wandb module (the real one needs a network)."""
+    import types
+
+    from dfd_tpu.utils.sweep import REFERENCE_SWEEP_CONFIG, wandb_sweep
+
+    assert REFERENCE_SWEEP_CONFIG["method"] == "random"
+    assert REFERENCE_SWEEP_CONFIG["metric"]["name"] == "Policy Reward"
+    assert set(REFERENCE_SWEEP_CONFIG["parameters"]) == {
+        "learning_rate", "noise_std", "batch_size"}
+
+    calls = {}
+    fake = types.SimpleNamespace()
+    fake.sweep = lambda sweep, project: calls.setdefault("sweep_id", "sw123")
+    fake.init = lambda project: types.SimpleNamespace(
+        config={"learning_rate": 0.05, "noise_std": 0.01, "batch_size": 25},
+        log=lambda d: None,
+    )
+
+    def agent(sweep_id, function, count, project):
+        calls["agent"] = (sweep_id, count, project)
+        for _ in range(3):  # the agent drives `count` trials; emulate a few
+            function()
+
+    fake.agent = agent
+
+    trained = []
+
+    def factory(wandb_run=None, **params):
+        assert params == {"learning_rate": 0.05, "noise_std": 0.01, "batch_size": 25}
+
+        class R:
+            def train(self, n):
+                trained.append((n, params))
+
+        return R()
+
+    sid = wandb_sweep(factory, count=7, train_epochs=4, _wandb=fake, project="p")
+    assert sid == "sw123"
+    assert calls["agent"] == ("sw123", 7, "p")
+    assert trained == [(4, {"learning_rate": 0.05, "noise_std": 0.01, "batch_size": 25})] * 3
+
+
+def test_wandb_sweep_raises_cleanly_without_wandb():
+    import pytest
+
+    from dfd_tpu.utils.sweep import wandb_sweep
+
+    with pytest.raises(RuntimeError, match="wandb is not installed"):
+        wandb_sweep(lambda **kw: None)
