@@ -10,6 +10,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from dfd_tpu.config import TrainConfig
 from dfd_tpu.envs import CartPoleEnv, PendulumEnv, TrapEnv
 from dfd_tpu.envs.pixelgrid import PixelGridEnv
+from dfd_tpu.envs.procmaze import ProcMazeEnv
+from dfd_tpu.envs.swimmer import SwimmerEnv
 from dfd_tpu.models import DiscreteMLP, GaussianMLP
 from dfd_tpu.models.atari import AtariCNN
 from dfd_tpu.models.impala import ImpalaPolicy
@@ -60,6 +62,27 @@ RUNS = {
                         zeta_size=8, max_strategy_history_size=8, random_seed=0,
                         episode_length=16),
         epochs=20,
+    ),
+    # config [2] at HalfCheetah-class dimensionality: 16-obs/6-action
+    # locomotion on the JAX-native swimmer (contact-free Lagrangian physics)
+    "swimmer_gaussian": dict(
+        env=SwimmerEnv(max_steps=150), model=GaussianMLP(16, 6),
+        dist=distances.gaussian_wasserstein_from_strategies,
+        cfg=TrainConfig(batch_size=512, learning_rate=0.5, noise_std=0.1,
+                        optimizer="sgd", zeta_size=32,
+                        max_strategy_history_size=16, random_seed=0,
+                        episode_length=150, normalize_obs=True),
+        epochs=120,
+    ),
+    # config [3]/[4] with procgen-shaped level distribution: procedural
+    # layouts + level-keyed palettes force generalization across levels
+    "procmaze_impala": dict(
+        env=ProcMazeEnv(grid=4, scale=16, max_steps=14, num_levels=5),
+        model=ImpalaPolicy((3, 64, 64), 5), dist=distances.categorical_tvd,
+        cfg=TrainConfig(batch_size=64, learning_rate=0.1, noise_std=0.1,
+                        zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                        episode_length=14),
+        epochs=60,
     ),
 }
 
