@@ -144,6 +144,8 @@ class ImpalaPolicy(PolicyModel):
         use_lstm: bool = True,
         compute_dtype=None,
         conv_impl: str = "patches",
+        channels=CHANNELS,
+        hidden: int = HIDDEN,
     ):
         """``frame_shape``: (C, H, W) of one frame (procgen: (3, 64, 64)).
 
@@ -152,8 +154,15 @@ class ImpalaPolicy(PolicyModel):
         policy head stay f32 (probs within ~1e-2 of the f32 path).
 
         ``conv_impl``: "patches" (default; im2col + batched GEMM — the fast
-        lowering under population vmap) or "lax" (direct lax.conv)."""
+        lowering under population vmap) or "lax" (direct lax.conv).
+
+        ``channels``/``hidden``: torso widths.  The reference's 16/32/32
+        (policies/impala.py:63) is the parity default; production-scale
+        widths (e.g. 64/128/128) are where the MXU and bf16 actually engage
+        — see docs/RESULTS.md roofline note."""
         c, h, w = (int(v) for v in frame_shape)
+        self.channels = tuple(int(x) for x in channels)
+        self.hidden = int(hidden)
         self.compute_dtype = compute_dtype
         self.conv_impl = conv_impl
         self._conv = CONV_IMPLS[conv_impl]
@@ -163,29 +172,29 @@ class ImpalaPolicy(PolicyModel):
         self.use_lstm = use_lstm
 
         hw = h
-        for _ in CHANNELS:
+        for _ in self.channels:
             hw = (hw + 2 * 1 - 3) // 2 + 1  # maxpool 3x3 s2 p1
         ww = w
-        for _ in CHANNELS:
+        for _ in self.channels:
             ww = (ww + 2 * 1 - 3) // 2 + 1
-        self.flat_features = CHANNELS[-1] * hw * ww
+        self.flat_features = self.channels[-1] * hw * ww
 
         f32 = np.float32
         A = self.output_shape
-        core_in = HIDDEN + 1  # fc output + clipped reward
-        core_out = HIDDEN if use_lstm else core_in
+        core_in = self.hidden + 1  # fc output + clipped reward
+        core_out = self.hidden if use_lstm else core_in
 
         # (name, kind, shape-info) in torch registration order
         self._layers = []
         in_ch = c
-        for k, ch in enumerate(CHANNELS):
+        for k, ch in enumerate(self.channels):
             self._layers += [
                 (f"feat{k}_bn", "bn", in_ch),
                 (f"feat{k}_conv", "conv", (ch, in_ch, 3, 3)),
             ]
             in_ch = ch
         for r in (1, 2):
-            for k, ch in enumerate(CHANNELS):
+            for k, ch in enumerate(self.channels):
                 self._layers += [
                     (f"res{r}_{k}_bn1", "bn", ch),
                     (f"res{r}_{k}_conv1", "conv", (ch, ch, 3, 3)),
@@ -194,10 +203,10 @@ class ImpalaPolicy(PolicyModel):
                 ]
         self._layers += [
             ("fc_bn", "bn", self.flat_features),
-            ("fc", "linear", (HIDDEN, self.flat_features)),
+            ("fc", "linear", (self.hidden, self.flat_features)),
         ]
         if use_lstm:
-            self._layers += [("lstm", "lstm", (core_in, HIDDEN))]
+            self._layers += [("lstm", "lstm", (core_in, self.hidden))]
         self._layers += [
             ("policy_bn", "bn", core_out),
             ("policy", "linear", (A, core_out)),
@@ -272,7 +281,7 @@ class ImpalaPolicy(PolicyModel):
             return self._torso_nhwc(params, state, frames)
         cd = self.compute_dtype
         x = jnp.asarray(frames, jnp.float32) / 255.0
-        for k in range(len(CHANNELS)):
+        for k in range(len(self.channels)):
             x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
             x = self._conv(params[f"feat{k}_conv"], x, cd)
             x = maxpool3x3s2(x)
@@ -305,7 +314,7 @@ class ImpalaPolicy(PolicyModel):
         cd = self.compute_dtype
         x = jnp.asarray(frames, jnp.float32).transpose(0, 2, 3, 1) / 255.0
         bn = lambda name, v: layers.batchnorm_eval(params[name], state[name], v)
-        for k in range(len(CHANNELS)):
+        for k in range(len(self.channels)):
             x = bn(f"feat{k}_bn", x)
             x = conv3x3_nhwc(params[f"feat{k}_conv"], x, cd)
             x = maxpool3x3s2_nhwc(x)
@@ -336,7 +345,7 @@ class ImpalaPolicy(PolicyModel):
     def initial_carry(self):
         if not self.use_lstm:
             return ()
-        return (jnp.zeros((HIDDEN,), jnp.float32), jnp.zeros((HIDDEN,), jnp.float32))
+        return (jnp.zeros((self.hidden,), jnp.float32), jnp.zeros((self.hidden,), jnp.float32))
 
     def step_probs(self, params, state, frame, prev_reward, carry):
         """One timestep: probs [A] + new carry, for a single frame [C,H,W]."""
@@ -412,7 +421,7 @@ class ImpalaPolicy(PolicyModel):
             return y.reshape(n, h, w, c).transpose(0, 3, 1, 2)
 
         x = jnp.asarray(buffer, jnp.float32) / 255.0
-        for k in range(len(CHANNELS)):
+        for k in range(len(self.channels)):
             x = bn2d(f"feat{k}_bn", x)
             x = maxpool3x3s2(conv(params[f"feat{k}_conv"], x))
             for r in (1, 2):
@@ -469,19 +478,19 @@ class ImpalaPolicy(PolicyModel):
         the registration order used by the flat views)."""
         specs, names = [], []
         in_ch = self.frame_chw[0]
-        for k, ch in enumerate(CHANNELS):
+        for k, ch in enumerate(self.channels):
             specs.append(("conv2d", in_ch, ch, 3, 3))
             names.append(f"feat{k}_conv")
             for r in (1, 2):
                 specs += [("conv2d", ch, ch, 3, 3), ("conv2d", ch, ch, 3, 3)]
                 names += [f"res{r}_{k}_conv1", f"res{r}_{k}_conv2"]
             in_ch = ch
-        specs.append(("linear", self.flat_features, HIDDEN))
+        specs.append(("linear", self.flat_features, self.hidden))
         names.append("fc")
         if self.use_lstm:
-            specs.append(("lstm", HIDDEN + 1, HIDDEN))
+            specs.append(("lstm", self.hidden + 1, self.hidden))
             names.append("lstm")
-        specs.append(("linear", HIDDEN, self.output_shape))
+        specs.append(("linear", self.hidden, self.output_shape))
         names.append("policy")
         self._construction_names = names
         return specs
