@@ -29,13 +29,22 @@ def _conv_out(size: int, k: int, s: int) -> int:
 
 
 def conv2d(p, x, stride):
-    """NCHW conv with OIHW weights (torch layout) + bias."""
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["w"],
-        window_strides=(stride, stride),
-        padding="VALID",
+    """NCHW conv with OIHW weights (torch layout) + bias.
+
+    Lowered as im2col patches + GEMM: under ``vmap`` over member-batched
+    weights (the FD population forward) ``lax.conv`` becomes a grouped conv
+    that starves the MXU, while the weight-free patches op vmaps for free
+    and the contraction stays one batched GEMM (same finding as the IMPALA
+    torso, models/impala.py::conv3x3_patches — 2.2x there)."""
+    w = p["w"]
+    co, ci, kh, kw = w.shape
+    pat = jax.lax.conv_general_dilated_patches(
+        x, (kh, kw), (stride, stride), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # [N, ci*kh*kw, H', W']
+    y = jnp.einsum(
+        "nkhw,ok->nohw", pat, w.reshape(co, ci * kh * kw),
+        preferred_element_type=jnp.float32,
     )
     return y + p["b"][None, :, None, None]
 

@@ -211,3 +211,18 @@ def test_impala_vbn_matches_torch_full_model():
             sd[f"{tkey}.running_var"].numpy(),
             rtol=2e-4, atol=1e-5, err_msg=name,
         )
+
+
+def test_impala_configurable_widths():
+    """Production-width torso: non-default channels/hidden build, run, and
+    round-trip through the flat views."""
+    wide = ImpalaPolicy(FRAME, A, channels=(8, 16, 16), hidden=32)
+    assert wide.num_params != ImpalaPolicy(FRAME, A).num_params
+    params, state = wide.init(0)
+    frames = (np.random.RandomState(0).rand(2, *FRAME) * 255).astype(np.float32)
+    probs = np.asarray(wide.apply_seq(params, state, frames, np.zeros(2, np.float32)))
+    assert probs.shape == (2, A)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    flat = wide.get_flat(params)
+    p2 = wide.set_flat(flat)
+    np.testing.assert_array_equal(wide.get_flat(p2), flat)
