@@ -112,7 +112,50 @@ def maxpool3x3s2_nhwc(x):
     )
 
 
-CONV_IMPLS = {"lax": conv3x3, "patches": conv3x3_patches, "nhwc": conv3x3_nhwc}
+def conv3x3_split(p, x, compute_dtype=None):
+    """3x3 same conv as a (rows -> K, cols -> N) split GEMM + 3 shifted adds.
+
+    The MXU processes 128x128 blocks; a conv GEMM's utilization is the
+    product of its K and N fills.  Full im2col puts all 9 taps in K
+    ((9ci, co): 144*16/128^2 = 7% at 16 channels), tap-stacking puts them
+    all in N ((ci, 9co): same 7%) — but splitting the kernel's ROWS into K
+    and COLUMNS into N ((3ci, 3co)) squares the fill: 48*48/128^2 = 14% at
+    16 channels and 96*96/128^2 = 56% at 32 channels.  The horizontal-tap
+    reduction that the GEMM no longer performs is 3 shifted adds on the VPU.
+    Measured only +3% over full im2col for the full population epoch
+    (21.9k vs 21.2k env-steps/s at P=64): the epoch is not GEMM-throughput
+    bound at these widths — kept as an option and as the documented
+    fill-analysis data point (docs/RESULTS.md)."""
+    w = p["w"]
+    co, ci = w.shape[0], w.shape[1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    # vertical-only im2col: channel k = i*3 + dy (patches orders (ci, kh, kw))
+    pat3 = jax.lax.conv_general_dilated_patches(
+        x, (3, 1), (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # [N, ci*3, H, W]
+    w2 = w.transpose(1, 2, 3, 0).reshape(ci * 3, 3 * co)  # [(i,dy), (dx,o)]
+    y3 = jnp.einsum(
+        "nkhw,km->nmhw", pat3, w2, preferred_element_type=jnp.float32
+    )  # [N, 3*co, H, W], m = dx*co + o
+    W = x.shape[-1]
+    y3p = jnp.pad(y3, ((0, 0), (0, 0), (0, 0), (1, 1)))
+    y = (
+        y3p[:, 0 * co : 1 * co, :, 0 : W]
+        + y3p[:, 1 * co : 2 * co, :, 1 : W + 1]
+        + y3p[:, 2 * co : 3 * co, :, 2 : W + 2]
+    )
+    return y + p["b"][None, :, None, None]
+
+
+CONV_IMPLS = {
+    "lax": conv3x3,
+    "patches": conv3x3_patches,
+    "nhwc": conv3x3_nhwc,
+    "split": conv3x3_split,
+}
 
 
 def maxpool3x3s2(x):
