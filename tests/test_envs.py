@@ -219,6 +219,68 @@ def test_swimmer_passive_energy_bounded():
     assert (np.diff(kes) < 1e-3).all()                 # monotone decay
 
 
+def test_swimmer_closed_form_matches_autodiff():
+    """The closed-form dynamics terms (production path) must equal the
+    autodiff-derived oracle at random states, for several chain lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.swimmer import SwimmerEnv
+
+    for n_links in (3, 5, 7):
+        env = SwimmerEnv(n_links=n_links)
+        key = jax.random.key(n_links)
+        for i in range(4):
+            kq, kv, key = jax.random.split(jax.random.fold_in(key, i), 3)
+            q = jax.random.uniform(kq, (env.ndof,), minval=-1.5, maxval=1.5)
+            qdot = jax.random.uniform(kv, (env.ndof,), minval=-2.0, maxval=2.0)
+            Ma, Da, ba = env._terms_autodiff(q, qdot)
+            Mc, Dc, bc = env._terms_closed(q, qdot)
+            np.testing.assert_allclose(Mc, Ma, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(Dc, Da, rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(bc, ba, rtol=1e-4, atol=1e-4)
+
+
+def test_swimmer_closed_trajectory_matches_autodiff():
+    """Full episode trajectories under the two dynamics implementations
+    agree (same integrator, same solve up to factorization round-off)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.envs.swimmer import SwimmerEnv
+
+    envc = SwimmerEnv(dynamics="closed")
+    enva = SwimmerEnv(dynamics="autodiff")
+
+    def wave(o, t):
+        k = jnp.arange(6, dtype=jnp.float32)
+        return jnp.sin(0.4 * t.astype(jnp.float32) + 0.8 * k)
+
+    tc, dxc, _ = jax.jit(lambda k: _swimmer_rollout(envc, k, wave, T=50))(jax.random.key(2))
+    ta, dxa, _ = jax.jit(lambda k: _swimmer_rollout(enva, k, wave, T=50))(jax.random.key(2))
+    np.testing.assert_allclose(float(tc), float(ta), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(dxc), float(dxa), rtol=1e-3, atol=1e-3)
+
+
+def test_spd_solve_unrolled_matches_linalg():
+    import jax
+    import jax.numpy as jnp
+
+    from dfd_tpu.ops.smallsolve import spd_solve_unrolled
+
+    key = jax.random.key(0)
+    for n in (2, 5, 9):
+        kA, kb, key = jax.random.split(key, 3)
+        R = jax.random.normal(kA, (4, n, n))
+        A = jnp.einsum("bij,bkj->bik", R, R) + 0.5 * jnp.eye(n)
+        b = jax.random.normal(kb, (4, n))
+        x = spd_solve_unrolled(A, b)
+        np.testing.assert_allclose(
+            np.asarray(jnp.einsum("bij,bj->bi", A, x)), np.asarray(b),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
 def test_swimmer_factory_routing():
     from dfd_tpu.models import GaussianMLP
     from dfd_tpu.utils.factory import get_vectorized_init_data
