@@ -12,7 +12,7 @@ reproducing the reference's per-episode quantities without a second pass.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,12 +44,20 @@ def episode_rollout(
     obs_stats_update_chance: float,
     collect_states: bool = True,
     unroll: int = 1,
+    collect_limit: Optional[int] = None,
 ) -> RolloutResult:
     """One full episode as a lax.scan; pure, vmappable over params/key.
 
     ``unroll`` trades compile time for stepping throughput: the per-step
     work of small policies is scan-iteration-overhead bound on TPU
-    (unroll=8 measured ~1.5x faster at P=2048 on the trap env)."""
+    (unroll=8 measured ~1.5x faster at P=2048 on the trap env).
+
+    ``collect_limit``: when set, only the first ``collect_limit`` visited
+    observations are kept, in a fixed carry buffer instead of a [T, *obs]
+    scan output — this is what lets the deterministic eval episode ride the
+    population vmap (runners/vectorized.py) without materializing
+    [P, T, *obs]: the zeta refresh only ever consumes the first
+    ``zeta_size`` states (reference run_sequential.py:142-143)."""
 
     reset_key, act_key, stats_key = jax.random.split(key, 3)
     env_state, obs = env.reset(reset_key)
@@ -73,13 +81,23 @@ def episode_rollout(
             jax.random.uniform(jax.random.fold_in(stats_key, t)) < obs_stats_update_chance
         ).astype(jnp.float32)
 
-        reward_acc, ent_acc, step_acc, stats = acc
+        reward_acc, ent_acc, step_acc, stats, state_buf = acc
         stats = welford.jnp_update_batch(stats, raw_obs[None], sample_mask[None])
+        if state_buf is not None:
+            # predicated row write: rows >= collect_limit never change
+            idx = jnp.minimum(t, collect_limit - 1)
+            start = (idx,) + (0,) * raw_obs.ndim
+            row = jax.lax.dynamic_slice(
+                state_buf, start, (1,) + tuple(raw_obs.shape)
+            )
+            val = jnp.where(t < collect_limit, raw_obs[None], row)
+            state_buf = jax.lax.dynamic_update_slice(state_buf, val, start)
         acc = (
             reward_acc + af * reward,
             ent_acc + af * step_entropy,
             step_acc + active.astype(jnp.int32),
             stats,
+            state_buf,
         )
 
         # freeze the env once done (post-done transitions are discarded)
@@ -92,16 +110,23 @@ def episode_rollout(
         model_carry = keep(new_model_carry, model_carry)
         done = jnp.logical_or(done, step_done)
 
-        out_state = raw_obs if collect_states else None
+        out_state = raw_obs if (collect_states and collect_limit is None) else None
         return (env_state, obs, prev_reward, done, model_carry, acc), out_state
 
     stats0 = welford.jnp_init(env.obs_shape)
-    acc0 = (jnp.float32(0), jnp.float32(0), jnp.int32(0), stats0)
+    buf0 = (
+        jnp.zeros((collect_limit,) + tuple(env.obs_shape), jnp.float32)
+        if collect_limit is not None
+        else None
+    )
+    acc0 = (jnp.float32(0), jnp.float32(0), jnp.int32(0), stats0, buf0)
     carry0 = (env_state, obs, jnp.float32(0), jnp.asarray(False), model.initial_carry(), acc0)
     (final_env, final_obs, _, done, _, acc), states = jax.lax.scan(
         policy_step, carry0, jnp.arange(horizon), unroll=unroll
     )
-    reward, ent_sum, steps, stats = acc
+    reward, ent_sum, steps, stats, state_buf = acc
+    if collect_limit is not None:
+        states = state_buf
     entropy = ent_sum / jnp.maximum(steps, 1).astype(jnp.float32)
     return RolloutResult(reward=reward, entropy=entropy, steps=steps, obs_stats=stats, states=states)
 

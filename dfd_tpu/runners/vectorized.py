@@ -238,18 +238,31 @@ class VectorizedTrainer:
         E = cfg.envs_per_perturbation
         roll_keys = jax.vmap(lambda i: jax.random.fold_in(roll_key, i))(member_ids)
 
-        def one_episode(params, k):
+        def one_episode(params, k, deterministic=None, collect_limit=None):
             return fd_rollout.episode_rollout(
                 model, self.env, params, state.bn_state, k, self.horizon,
-                deterministic=jnp.asarray(False),
+                deterministic=(
+                    jnp.asarray(False) if deterministic is None else deterministic
+                ),
                 obs_mean=obs_mean, obs_std=obs_std,
                 normalize_obs=cfg.normalize_obs,
                 obs_stats_update_chance=cfg.obs_stats_update_chance,
                 collect_states=False,
                 unroll=cfg.scan_unroll,
+                collect_limit=collect_limit,
             )
 
         chunked = bool(cfg.population_chunk) and cfg.population_chunk < P
+        # The deterministic eval episode rides the population vmap as member
+        # P (zero noise): a separate batch-1 eval scan costs the same wall
+        # time as the whole vmapped population rollout (identical kernel
+        # count, latency-bound) — fusing it makes eval ~free.  Falls back to
+        # the separate-eval path for population chunking (the lax.map chunk
+        # structure), envs-per-member averaging, and meshes (P+1 does not
+        # shard evenly over the population axis).
+        Z = state.zeta.shape[0]
+        fused_eval = (not chunked) and self.mesh is None and E == 1 and Z > 0
+        do_eval = (state.epoch % cfg.eval_every) == 0
         if chunked:
             # 1-3 fused, memory-bounded: lax.map over population chunks; the
             # noise, perturbed parameters, rollout state and novelty of only
@@ -294,10 +307,28 @@ class VectorizedTrainer:
                 eps = self._shard_pop(eps)
                 noise_ssq = None
                 pop_flats = state.flat[None, :] + cfg.noise_std * eps
-            pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
+            if fused_eval:
+                all_flats = jnp.concatenate([pop_flats, state.flat[None, :]], axis=0)
+                all_keys = jnp.concatenate([roll_keys, eval_key[None]])
+                det = jnp.zeros((P + 1,), bool).at[P].set(True)
+                all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
+                result_plus = jax.vmap(
+                    lambda p, k, d: one_episode(p, k, deterministic=d, collect_limit=Z)
+                )(all_params, all_keys, det)
+                result = jax.tree.map(lambda x: x[:P], result_plus)
+                fused_eval_res = jax.tree.map(lambda x: x[P], result_plus)
+                novelty_plus = self._batch_novelty(all_params, state, archive, archive_count)
+                novelty = novelty_plus[:P]
+                fused_eval_novelty = novelty_plus[P]
+                pop_params = jax.tree.map(lambda x: x[:P], all_params)
+                # fall through to step 4, which slices instead of re-rolling
+            else:
+                pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
 
             # 2. population rollout (E episodes per member, averaged)
-            if E == 1:
+            if fused_eval:
+                pass  # rolled out above, fused with the eval member
+            elif E == 1:
                 result = jax.vmap(one_episode)(pop_params, roll_keys)
             else:
                 def member_rollout(params, key):
@@ -315,43 +346,59 @@ class VectorizedTrainer:
 
                 result = jax.vmap(member_rollout)(pop_params, roll_keys)
 
-            # 3. novelty of each perturbed policy vs the archive
-            novelty = self._batch_novelty(pop_params, state, archive, archive_count)
+            # 3. novelty of each perturbed policy vs the archive (the fused
+            # path computed it above, together with the eval member's)
+            if not fused_eval:
+                novelty = self._batch_novelty(pop_params, state, archive, archive_count)
 
-        # 4. eval rollout (unperturbed, deterministic) every eval_every epochs
-        do_eval = (state.epoch % cfg.eval_every) == 0
-        base_params = model.set_flat(state.flat, xp=jnp)
-
-        def run_eval(_):
-            res = fd_rollout.episode_rollout(
-                model, self.env, base_params, state.bn_state, eval_key, self.horizon,
-                deterministic=jnp.asarray(True),
-                obs_mean=obs_mean, obs_std=obs_std,
-                normalize_obs=cfg.normalize_obs,
-                obs_stats_update_chance=cfg.obs_stats_update_chance,
-                collect_states=True,
-                unroll=cfg.scan_unroll,
+        # 4. eval episode (unperturbed, deterministic).  Fused path: member P
+        # of the population rollout above; its contributions are masked on
+        # non-eval epochs to match the legacy cond-skipped semantics.
+        if fused_eval:
+            eval_novelty = jnp.where(do_eval, fused_eval_novelty, jnp.float32(0))
+            zero_stats = welford.jnp_init(self.env.obs_shape)
+            eval_res = fused_eval_res._replace(
+                obs_stats=jax.tree.map(
+                    lambda live, zero: jnp.where(do_eval, live, zero),
+                    fused_eval_res.obs_stats, zero_stats,
+                ),
+                steps=jnp.where(do_eval, fused_eval_res.steps, jnp.int32(0)),
             )
-            nov = self._batch_novelty(
-                jax.tree.map(lambda x: x[None], base_params), state, archive, archive_count
-            )[0]
-            return res, nov
-
-        if cfg.eval_every == 1:
-            eval_res, eval_novelty = run_eval(None)
         else:
-            # lax.cond skips the full-horizon eval work on non-eval epochs
-            def skip_eval(_):
-                res = fd_rollout.RolloutResult(
-                    reward=jnp.float32(0),
-                    entropy=jnp.float32(0),
-                    steps=jnp.int32(0),
-                    obs_stats=welford.jnp_init(self.env.obs_shape),
-                    states=jnp.zeros((self.horizon,) + tuple(self.env.obs_shape), jnp.float32),
-                )
-                return res, jnp.float32(0)
+            base_params = model.set_flat(state.flat, xp=jnp)
 
-            eval_res, eval_novelty = jax.lax.cond(do_eval, run_eval, skip_eval, None)
+            def run_eval(_):
+                res = fd_rollout.episode_rollout(
+                    model, self.env, base_params, state.bn_state, eval_key, self.horizon,
+                    deterministic=jnp.asarray(True),
+                    obs_mean=obs_mean, obs_std=obs_std,
+                    normalize_obs=cfg.normalize_obs,
+                    obs_stats_update_chance=cfg.obs_stats_update_chance,
+                    collect_states=True,
+                    unroll=cfg.scan_unroll,
+                )
+                nov = self._batch_novelty(
+                    jax.tree.map(lambda x: x[None], base_params), state, archive, archive_count
+                )[0]
+                return res, nov
+
+            if cfg.eval_every == 1:
+                eval_res, eval_novelty = run_eval(None)
+            else:
+                # lax.cond skips the full-horizon eval work on non-eval epochs
+                def skip_eval(_):
+                    res = fd_rollout.RolloutResult(
+                        reward=jnp.float32(0),
+                        entropy=jnp.float32(0),
+                        steps=jnp.int32(0),
+                        obs_stats=welford.jnp_init(self.env.obs_shape),
+                        states=jnp.zeros(
+                            (self.horizon,) + tuple(self.env.obs_shape), jnp.float32
+                        ),
+                    )
+                    return res, jnp.float32(0)
+
+                eval_res, eval_novelty = jax.lax.cond(do_eval, run_eval, skip_eval, None)
 
         ema = lambda old, new: jnp.where(do_eval, old * 0.9 + new * 0.1, old)
         policy_reward = ema(state.policy_reward, eval_res.reward)

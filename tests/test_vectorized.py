@@ -144,6 +144,34 @@ def test_trainer_on_mesh_matches_single_device():
     np.testing.assert_allclose(r1, r2, rtol=1e-5)
 
 
+def test_fused_eval_matches_legacy_eval_path():
+    """The ride-along eval member (single-device fused path) must reproduce
+    the separate cond-gated eval episode (the mesh/chunked legacy path) —
+    including the masking of eval contributions on non-eval epochs."""
+    devices = jax.devices()
+    mesh = jax.sharding.Mesh(np.array(devices), ("pop",))
+    for eval_every in (1, 2):
+        tr_fused = _trainer(P=8, eval_every=eval_every)
+        tr_legacy = _trainer(P=8, mesh=mesh, eval_every=eval_every)
+        tr_fused.train(4)
+        tr_legacy.train(4)
+        np.testing.assert_allclose(
+            np.asarray(tr_fused.state.flat), np.asarray(tr_legacy.state.flat),
+            rtol=2e-4, atol=2e-5,
+        )
+        assert tr_fused.cumulative_timesteps == tr_legacy.cumulative_timesteps
+        for k in ("Policy Reward", "Noisy Reward", "Policy Novelty"):
+            np.testing.assert_allclose(
+                [r[k] for r in tr_fused.reporter.history],
+                [r[k] for r in tr_legacy.reporter.history],
+                rtol=1e-4, atol=1e-6, err_msg=f"{k} @ eval_every={eval_every}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(tr_fused.state.zeta), np.asarray(tr_legacy.state.zeta),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_trainer_metrics_vocabulary():
     tr = _trainer(P=8)
     tr.train(1)
