@@ -76,36 +76,40 @@ def main():
     )
 
     # [2] Gaussian MLP on the JAX-native swimmer (16-obs/6-action locomotion)
+    # P=512 is the measured single-chip sweet spot (round-2 sweep: 1.29M/1.50M/
+    # 1.50M/1.46M steps/s at P=256/512/1024/2048).
     suite["gaussian_swimmer"] = bench_config(
         "gaussian_swimmer",
         GaussianMLP(16, 6),
         SwimmerEnv(max_steps=100),
         distances.gaussian_wasserstein_from_strategies,
-        TrainConfig(batch_size=256, zeta_size=16, max_strategy_history_size=8,
+        TrainConfig(batch_size=512, zeta_size=16, max_strategy_history_size=8,
                     episode_length=100, random_seed=0, normalize_obs=True),
         n_epochs=10,
     )
 
-    # [3] Atari CNN on the pixel grid (deepmind-style 0-1 frames)
+    # [3] Atari CNN on the pixel grid (deepmind-style 0-1 frames); P=256 is the
+    # measured sweet spot (183k/215k/190k steps/s at P=128/256/512).
     env_cnn = PixelGridEnv(grid=8, scale=8, max_steps=40, intensity=1.0)
     suite["cnn_pixelgrid"] = bench_config(
         "cnn_pixelgrid",
         AtariCNN((64, 64), env_cnn.n_actions, in_channels=3),
         env_cnn,
         distances.categorical_tvd,
-        TrainConfig(batch_size=128, zeta_size=16, max_strategy_history_size=8,
+        TrainConfig(batch_size=256, zeta_size=16, max_strategy_history_size=8,
                     episode_length=40, random_seed=0),
         n_epochs=10,
     )
 
-    # [4] IMPALA ResNet+LSTM on the procgen-shaped maze (the flagship)
+    # [4] IMPALA ResNet+LSTM on the procgen-shaped maze (the flagship);
+    # P=128 measured marginally ahead of 64/256 (20.0k/20.7k/17.9k).
     env_imp = ProcMazeEnv(grid=8, scale=8, max_steps=40, num_levels=200)
     suite["impala_procmaze"] = bench_config(
         "impala_procmaze",
         ImpalaPolicy(env_imp.obs_shape, env_imp.n_actions),
         env_imp,
         distances.categorical_tvd,
-        TrainConfig(batch_size=64, zeta_size=8, max_strategy_history_size=4,
+        TrainConfig(batch_size=128, zeta_size=8, max_strategy_history_size=4,
                     episode_length=40, random_seed=0),
         n_epochs=10,
     )
