@@ -71,6 +71,23 @@ class ProcMazeEnv(JaxEnv):
         self.intensity = float(intensity)
         self.obs_shape = (channels, grid * scale, grid * scale)
 
+    def with_levels(self, num_levels=None, start_level=None) -> "ProcMazeEnv":
+        """A copy with a different level range — the procgen
+        ``num_levels``/``start_level`` contract, used by level curricula
+        (utils/curriculum.py).  Level ids are globally deterministic, so a
+        level seen under a narrow range replays identically under a wider
+        one."""
+        return ProcMazeEnv(
+            grid=self.grid,
+            scale=self.scale,
+            channels=self.channels,
+            max_steps=self.max_episode_steps,
+            num_levels=self.num_levels if num_levels is None else num_levels,
+            start_level=self.start_level if start_level is None else start_level,
+            distribution_mode=next(k for k, v in DENSITY.items() if v == self.density),
+            intensity=self.intensity,
+        )
+
     # -- level generation (pure function of the level id) --------------------------
 
     def _gen_level(self, level):

@@ -131,6 +131,25 @@ class VectorizedTrainer:
 
     # -- public ------------------------------------------------------------------
 
+    def set_env(self, env: JaxEnv) -> None:
+        """Swap the environment mid-training (level curricula, domain
+        randomization schedules).  The replacement must agree on the
+        observation/action interface — training state (parameters, omega,
+        obs stats, zeta, EMAs, epoch counter, archive) carries over; the
+        epoch program is re-jitted against the new env."""
+        if tuple(env.obs_shape) != tuple(self.env.obs_shape):
+            raise ValueError(
+                f"obs_shape mismatch: {env.obs_shape} vs {self.env.obs_shape}"
+            )
+        if env.discrete != self.env.discrete or (
+            env.discrete
+            and env.n_actions != self.env.n_actions
+        ) or (not env.discrete and env.action_dim != self.env.action_dim):
+            raise ValueError("action space mismatch between old and new env")
+        self.env = env
+        self.horizon = self.cfg.episode_length or env.max_episode_steps
+        self._step = jax.jit(self._epoch_step)  # fresh cache: closes over env
+
     def _archive_current(self) -> None:
         """Submit the current policy unless it is already the latest archive
         entry (guards chained train calls against duplicate snapshots)."""

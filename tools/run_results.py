@@ -84,6 +84,26 @@ RUNS = {
                         episode_length=14),
         epochs=60,
     ),
+    # flat full-distribution baseline vs the level curriculum, same budget:
+    # on a wide distribution each FD member rolls a different layout, so
+    # early fitness differences are level luck; the curriculum narrows the
+    # early distribution to recover signal (utils/curriculum.py)
+    "procmaze_impala_flat200": dict(
+        env=ProcMazeEnv(grid=4, scale=16, max_steps=14, num_levels=200),
+        model=ImpalaPolicy((3, 64, 64), 5), dist=distances.categorical_tvd,
+        cfg=TrainConfig(batch_size=64, learning_rate=0.1, noise_std=0.1,
+                        zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                        episode_length=14),
+        epochs=60,
+    ),
+    "procmaze_impala_curriculum": dict(
+        env=ProcMazeEnv(grid=4, scale=16, max_steps=14, num_levels=1),
+        model=ImpalaPolicy((3, 64, 64), 5), dist=distances.categorical_tvd,
+        cfg=TrainConfig(batch_size=64, learning_rate=0.1, noise_std=0.1,
+                        zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                        episode_length=14),
+        phases=[(15, 1), (15, 5), (30, 200)],
+    ),
 }
 
 only = sys.argv[1:] or list(RUNS)
@@ -92,7 +112,12 @@ for name in only:
     rep = EpochReporter(quiet=True)
     tr = VectorizedTrainer(spec["model"], spec["env"], spec["dist"], spec["cfg"], reporter=rep)
     t0 = time.time()
-    tr.train_fast(spec["epochs"], sync_every=10)
+    if "phases" in spec:
+        from dfd_tpu.utils.curriculum import train_level_curriculum
+
+        train_level_curriculum(tr, spec["phases"], sync_every=10)
+    else:
+        tr.train_fast(spec["epochs"], sync_every=10)
     wall = time.time() - t0
     rep.dump_jsonl(os.path.join(OUT, f"{name}.jsonl"))
     h = rep.history
