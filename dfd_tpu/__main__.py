@@ -74,6 +74,14 @@ def cmd_train(args) -> int:
         print({k: last.get(k) for k in ("Epoch", "Policy Reward", "Noisy Reward")})
         return 0
 
+    if args.antithetic:
+        print(
+            "error: --antithetic requires --topology vectorized (the host "
+            "sequential loop reproduces the reference's one-sided scheme)",
+            file=sys.stderr,
+        )
+        return 2
+
     from dfd_tpu.runners import SequentialRunner
     from dfd_tpu.utils.factory import get_init_data
 

@@ -107,6 +107,12 @@ class CounterNoiseSampler:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = max(int(epoch), 0)
+        # antithetic pairing is (2k, 2k+1) under the SAME epoch key: if the
+        # previous epoch ended on an odd sample count, re-align the counter
+        # to even so no mirrored pair straddles an epoch boundary (where the
+        # two halves would be drawn from different eps and never cancel)
+        if getattr(self.base, "antithetic", False) and self._next % 2:
+            self._next = (self._next + 1) & 0x7FFFFFFF
 
     def sample(self):
         member = self._next

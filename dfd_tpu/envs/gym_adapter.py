@@ -67,10 +67,17 @@ class GymEnv:
         if self._seed is not None and hasattr(self._env, "seed"):
             self._env.seed(self._seed)
             self._seed = None
-        return np.asarray(self._env.reset())
+        out = self._env.reset()
+        if isinstance(out, tuple):  # gym>=0.26 returns (obs, info)
+            out = out[0]
+        return np.asarray(out)
 
     def step(self, action):
-        obs, reward, done, info = self._env.step(action)
+        out = self._env.step(action)
+        if len(out) == 5:  # gym>=0.26: (obs, rew, terminated, truncated, info)
+            obs, reward, terminated, truncated, info = out
+            return np.asarray(obs), float(reward), bool(terminated or truncated), info
+        obs, reward, done, info = out
         return np.asarray(obs), float(reward), bool(done), info
 
     def close(self) -> None:

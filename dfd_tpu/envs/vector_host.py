@@ -20,6 +20,8 @@ from typing import Callable, List
 
 import numpy as np
 
+from dfd_tpu.envs.wrappers import frame_of
+
 
 class PythonVectorEnv:
     def __init__(self, make_env: Callable[[int], object], n_envs: int):
@@ -33,7 +35,7 @@ class PythonVectorEnv:
         # dict observations (ImpalaObsWrapper) carry reward/done alongside
         # the frame; the evaluator tracks those itself, so the vector
         # surface is frames-only
-        return np.asarray(obs["frame"] if isinstance(obs, dict) else obs)
+        return np.asarray(frame_of(obs))
 
     def reset_all(self) -> np.ndarray:
         obs = [self._frame(e.reset()) for e in self.envs]

@@ -13,6 +13,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def frame_of(obs):
+    """The plain frame array of an observation.
+
+    Dict observations (recurrent/pixel wrappers) contribute their ``frame``
+    entry; plain arrays pass through.  Zeta, the wire, and the vector-host
+    surface carry frames only — the reference's own distributed path cannot
+    serialize dict states (reference learner/fd_return.py:35 ravels
+    ``eval_states`` into a repeated-float proto field)."""
+    return obs["frame"] if isinstance(obs, dict) else obs
+
+
 def _to_chw(frame: np.ndarray) -> np.ndarray:
     f = np.asarray(frame, np.float32)
     if f.ndim == 3 and f.shape[-1] in (1, 3, 4) and f.shape[0] not in (1, 3, 4):

@@ -23,6 +23,7 @@ import numpy as np
 from dfd_tpu.core.noise import CounterNoise
 from dfd_tpu.core.welford import Welford
 from dfd_tpu.distributed.client import FDClient
+from dfd_tpu.envs.wrappers import frame_of
 from dfd_tpu.fd.returns import FDReturn
 from dfd_tpu.runners.agent import Agent
 from dfd_tpu.runners.host_evaluator import BatchedHostEvaluator
@@ -172,10 +173,7 @@ class FatClientRunner:
             ret = FDReturn(
                 epoch=self.epoch, encoded_noise="0", reward=rew, entropy=ent,
                 timesteps=steps, is_eval=True,
-                eval_states=[
-                    s["frame"] if isinstance(s, dict) else s
-                    for s in self.eval_agent.saved_states
-                ],
+                eval_states=[frame_of(s) for s in self.eval_agent.saved_states],
                 obs_stats_update=self.eval_agent.obs_stats.serialize(),
             )
             returns.append(ret)

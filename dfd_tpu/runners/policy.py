@@ -59,6 +59,9 @@ class HostPolicy:
         self._vbn = jax.jit(lambda f, s, x: model.vbn(model.set_flat(f, xp=jnp), s, x))
         self._carry = model.initial_carry()
         if model.recurrent:
+            self._vbn_rew = jax.jit(
+                lambda f, s, x, r: model.vbn(model.set_flat(f, xp=jnp), s, x, rewards=r)
+            )
             self._step_probs = jax.jit(
                 lambda f, s, frame, rew, carry: model.step_probs(
                     model.set_flat(f, xp=jnp), s, frame, rew, carry
@@ -119,8 +122,12 @@ class HostPolicy:
     def get_strategy(self, zeta) -> np.ndarray:
         params = self.model.set_flat(self.flat, xp=jnp)
         if self.model.recurrent and len(zeta) > 0 and isinstance(zeta[0], dict):
-            frames, _ = self._stack_dict_states(zeta)
-            zeta = frames
+            # dict zeta entries carry rewards the reference's stacked
+            # strategy forward feeds through the LSTM (reference
+            # policies/impala.py:21-27)
+            frames, rewards = self._stack_dict_states(zeta)
+            probs = self.model.apply_seq(params, self.bn_state, frames, rewards)
+            return np.asarray(probs).reshape(len(frames), -1)
         return np.asarray(self.model.strategy(params, self.bn_state, jnp.asarray(zeta)))
 
     @staticmethod
@@ -140,6 +147,18 @@ class HostPolicy:
         return jnp.asarray(frames), jnp.asarray(rewards)
 
     def compute_vbn(self, buffer) -> None:
+        entries = list(buffer)
+        if entries and isinstance(entries[0], dict):
+            # dict-obs buffers (recurrent wrappers): the refresh feeds the
+            # buffer's real rewards through the LSTM, like the reference's
+            # stacked dict-obs VBN (reference policies/impala.py:12-16)
+            frames, rewards = self._stack_dict_states(entries)
+            if self.model.recurrent:
+                new_state = self._vbn_rew(self.flat, self.bn_state, frames, rewards)
+            else:
+                new_state = self._vbn(self.flat, self.bn_state, frames)
+            self.bn_state = jax.device_get(new_state)
+            return
         self.bn_state = jax.device_get(self._vbn(self.flat, self.bn_state, jnp.asarray(buffer)))
 
     def serialize(self):

@@ -28,6 +28,7 @@ from typing import Optional
 import numpy as np
 
 from dfd_tpu.core.noise import RNGNoiseSource
+from dfd_tpu.envs.wrappers import frame_of
 from dfd_tpu.fd.dsgd import DSGD
 from dfd_tpu.fd.learner import FDLearner
 from dfd_tpu.fd.omega import AdaptiveOmega
@@ -173,6 +174,10 @@ class SequentialRunner:
                 self.current_state.epoch = self.learner.epoch
                 self.worker.update(self.current_state)
 
+            # drain stage totals every epoch so a skipped (zero-update)
+            # epoch's time is never misattributed to a later report
+            stage_report = self.timer.report()
+            if update_magnitude > 0:
                 report = {
                     "Epoch": self.learner.epoch,
                     "Epoch Time": time.perf_counter() - t1,
@@ -185,7 +190,7 @@ class SequentialRunner:
                     "Update Magnitude": update_magnitude,
                     "Omega": self.omega.omega,
                 }
-                report.update(self.timer.report())
+                report.update(stage_report)
                 self.reporter.report(report)
 
     # -- helpers -----------------------------------------------------------------
@@ -195,18 +200,25 @@ class SequentialRunner:
         obs = self.env.reset()
         n = max(vbn_buffer_size, self.zeta_size)
         for i in range(n):
-            # dict observations (recurrent/pixel wrappers) contribute frames
-            # only — zeta/vbn buffers are plain arrays everywhere
-            frame = obs["frame"] if isinstance(obs, dict) else obs
+            # zeta carries plain frames (dict observations contribute their
+            # frame only — see envs.wrappers.frame_of); the VBN buffer keeps
+            # the raw observations so recurrent policies feed the buffer's
+            # real rewards through the LSTM during the refresh, like the
+            # reference's stacked dict-obs VBN (reference policies/impala.py:12-16)
             if i < self.zeta_size:
-                zeta.append(frame)
+                zeta.append(frame_of(obs))
             if vbn_buffer_size > 0 and i < vbn_buffer_size:
-                vbn.append(frame)
+                vbn.append(obs)
             a = self._random_action()
             obs, _, done, _ = self.env.step(a)
             if done:
                 obs = self.env.reset()
-        vbn_arr = np.asarray(vbn) if vbn_buffer_size > 0 else None
+        if vbn_buffer_size <= 0:
+            vbn_arr = None
+        elif isinstance(vbn[0], dict):
+            vbn_arr = vbn  # HostPolicy.compute_vbn stacks frames + rewards
+        else:
+            vbn_arr = np.asarray(vbn)
         return np.asarray(zeta), vbn_arr
 
     def _random_action(self):

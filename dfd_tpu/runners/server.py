@@ -23,6 +23,7 @@ import numpy as np
 from dfd_tpu.core.noise import RNGNoiseSource
 from dfd_tpu.core.welford import Welford
 from dfd_tpu.distributed.server import GRPCWorker
+from dfd_tpu.envs.wrappers import frame_of
 from dfd_tpu.fd.dsgd import DSGD
 from dfd_tpu.fd.learner import FDLearner
 from dfd_tpu.fd.omega import AdaptiveOmega
@@ -205,6 +206,10 @@ class ServerRunner:
                 if update_magnitude > 0 and ret_rewards:
                     with self.timer.stage("archive"):
                         self.strategy_handler.add_policy(self.policy.get_trainable_flat())
+                # drain stage totals every epoch so a skipped (zero-update)
+                # epoch's time is never misattributed to a later report
+                stage_report = self.timer.report()
+                if update_magnitude > 0 and ret_rewards:
                     epoch_time = time.perf_counter() - t1
                     t1 = time.perf_counter()
                     report = {
@@ -221,7 +226,7 @@ class ServerRunner:
                         "Omega": self.omega.omega,
                         "Discarded Returns": self.learner.discarded_returns,
                     }
-                    report.update(self.timer.report())
+                    report.update(stage_report)
                     self.reporter.report(report)
                 epochs_done += 1
 
@@ -240,19 +245,27 @@ class ServerRunner:
         zeta, vbn = [], []
         obs = self.env.reset()
         for i in range(max(vbn_buffer_size, self.zeta_size)):
-            # dict observations (recurrent/pixel wrappers) contribute frames
-            # only — zeta/vbn buffers are plain arrays everywhere
-            frame = obs["frame"] if isinstance(obs, dict) else obs
+            # zeta carries plain frames (see envs.wrappers.frame_of); the
+            # VBN buffer keeps the raw observations so recurrent policies
+            # feed the buffer's real rewards through the LSTM during the
+            # refresh (reference policies/impala.py:12-16)
+            frame = frame_of(obs)
             if self.normalize_obs:
                 self.global_obs_stats.increment(frame, 1)
             if i < self.zeta_size:
                 zeta.append(frame)
             if vbn_buffer_size > 0 and i < vbn_buffer_size:
-                vbn.append(frame)
+                vbn.append(obs)
             obs, _, done, _ = self.env.step(self._random_action())
             if done:
                 obs = self.env.reset()
-        return np.asarray(zeta), (np.asarray(vbn) if vbn_buffer_size > 0 else None)
+        if vbn_buffer_size <= 0:
+            vbn_arr = None
+        elif isinstance(vbn[0], dict):
+            vbn_arr = vbn  # HostPolicy.compute_vbn stacks frames + rewards
+        else:
+            vbn_arr = np.asarray(vbn)
+        return np.asarray(zeta), vbn_arr
 
     def _random_action(self):
         if self.model.discrete:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from dfd_tpu.core.welford import Welford
+from dfd_tpu.envs.wrappers import frame_of
 from dfd_tpu.fd.returns import FDReturn
 
 
@@ -51,10 +52,7 @@ class Worker:
                 ret = self._build_return("0", is_eval)
                 # dict observations (recurrent/pixel envs) ship frames only:
                 # zeta and the wire carry plain CHW arrays
-                ret.eval_states = [
-                    s["frame"] if isinstance(s, dict) else s
-                    for s in self.agent.saved_states
-                ]
+                ret.eval_states = [frame_of(s) for s in self.agent.saved_states]
             returns.append(ret)
         return returns
 

@@ -174,3 +174,23 @@ def test_trainer_antithetic_off_matches_round1_behavior():
     np.testing.assert_array_equal(
         np.asarray(t_default.state.flat), np.asarray(t_plain.state.flat)
     )
+
+
+def test_sampler_realigns_pairs_on_epoch_change():
+    """A thin client that drew an odd number of samples in one epoch must
+    not let pairs straddle the epoch boundary: set_epoch re-aligns the
+    member counter to even so the next two samples are a mirrored pair."""
+    from dfd_tpu.core.noise import CounterNoiseSampler
+
+    base = CounterNoise(16, random_seed=11, antithetic=True)
+    sampler = CounterNoiseSampler(base, id_offset=0)
+    for _ in range(3):  # odd draw count leaves the counter mid-pair
+        sampler.sample()
+    sampler.set_epoch(1)
+    enc_a, eps_a = sampler.sample()
+    enc_b, eps_b = sampler.sample()
+    np.testing.assert_array_equal(eps_a, -eps_b)
+    # both halves of the pair are keyed by the SAME epoch
+    assert enc_a.split(",")[0] == enc_b.split(",")[0] == "1"
+    # re-aligning never reuses an id: the skipped odd slot stays unused
+    assert int(enc_a.split(",")[1]) % 2 == 0

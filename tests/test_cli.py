@@ -52,3 +52,13 @@ def test_cli_sweep(capsys):
     )
     assert rc == 0
     assert "best:" in capsys.readouterr().out
+
+
+def test_cli_antithetic_requires_vectorized(capsys):
+    rc = main(
+        ["train", "--topology", "sequential", "--env", "SimpleTrapEnv-v0",
+         "--epochs", "1", "--batch-size", "4", "--zeta-size", "8",
+         "--history-size", "4", "--quiet", "--antithetic"]
+    )
+    assert rc == 2
+    assert "antithetic" in capsys.readouterr().err

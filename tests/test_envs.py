@@ -380,3 +380,33 @@ def test_procmaze_trains_a_step():
     tr.train(1)
     assert int(tr.state.epoch) == 1
     assert np.isfinite(tr.reporter.history[0]["Noisy Reward"])
+
+
+def test_gym_adapter_handles_both_api_generations():
+    """GymEnv must adapt gym>=0.26 (tuple reset, 5-tuple step) as well as
+    the legacy 4-tuple API procgen registers against."""
+    from dfd_tpu.envs.gym_adapter import GymEnv
+
+    class _Modern:
+        def reset(self):
+            return np.zeros(3, np.float32), {}
+
+        def step(self, action):
+            return np.ones(3, np.float32), 1.0, False, True, {}
+
+    class _Legacy:
+        def reset(self):
+            return np.zeros(3, np.float32)
+
+        def step(self, action):
+            return np.ones(3, np.float32), 2.0, True, {}
+
+    for fake, want_rew in ((_Modern(), 1.0), (_Legacy(), 2.0)):
+        env = GymEnv.__new__(GymEnv)
+        env._env = fake
+        env._seed = None
+        obs = env.reset()
+        assert obs.shape == (3,)
+        obs, rew, done, _ = env.step(0)
+        assert rew == want_rew
+        assert done is True  # modern: truncated; legacy: done

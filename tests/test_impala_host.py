@@ -85,3 +85,58 @@ def test_host_policy_strategy_on_dict_zeta():
     strat = policy.get_strategy(zeta)
     assert strat.shape == (3, A)
     np.testing.assert_allclose(strat.sum(-1), 1.0, atol=1e-5)
+
+
+def test_sequential_vbn_buffer_keeps_real_rewards():
+    """The host runners' VBN refresh must feed the buffer's real rewards
+    through the LSTM, like the reference's stacked dict-obs VBN (reference
+    policies/impala.py:12-16) — not zeros."""
+    from dfd_tpu.ops import distances
+    from dfd_tpu.runners.sequential import SequentialRunner
+
+    model = _small_impala()
+    env = ImpalaObsWrapper(_FakePixelEnv(episode_len=3))
+    runner = SequentialRunner(
+        model, env, distances.categorical_tvd,
+        batch_size=2, zeta_size=4, max_strategy_history_size=4,
+        vbn_buffer_size=6, random_seed=0,
+    )
+    buf = runner.vbn_buffer
+    assert isinstance(buf, list) and isinstance(buf[0], dict)
+    rewards = np.asarray([float(o["reward"]) for o in buf], np.float32)
+    assert np.abs(rewards).sum() > 0  # the fake env pays +-1/-0.5 per step
+
+    # compute_vbn == model.vbn with the buffer's frames AND rewards ...
+    policy = runner.policy
+    frames = np.stack([np.asarray(o["frame"], np.float32) for o in buf])
+    params = model.set_flat(policy.flat)
+    runner_state = dict(policy.bn_state)
+    policy.compute_vbn(buf)
+    expect = model.vbn(params, runner_state, frames, rewards=rewards)
+    for k in expect:
+        np.testing.assert_allclose(
+            np.asarray(policy.bn_state[k]["mean"]), np.asarray(expect[k]["mean"]),
+            rtol=1e-3, atol=5e-5,  # jit (device) vs eager fusion rounding
+        )
+
+    # ... and the rewards are live: zero rewards give a different policy_bn
+    zero = model.vbn(params, runner_state, frames, rewards=np.zeros_like(rewards))
+    assert not np.allclose(
+        np.asarray(expect["policy_bn"]["mean"]), np.asarray(zero["policy_bn"]["mean"])
+    )
+    # draining semantics: stage totals never roll across epochs
+    assert runner.timer.totals == {}
+
+
+def test_host_policy_strategy_dict_zeta_uses_rewards():
+    """Dict zeta entries carry rewards the reference's strategy forward
+    consumes (reference policies/impala.py:21-27)."""
+    model = _small_impala()
+    policy = HostPolicy(model, seed=4)
+    frames = [np.full(FRAME, 30.0, np.float32) for _ in range(3)]
+    z0 = [{"frame": f, "reward": 0.0, "done": False} for f in frames]
+    z1 = [{"frame": f, "reward": 1.0, "done": False} for f in frames]
+    s0 = policy.get_strategy(z0)
+    s1 = policy.get_strategy(z1)
+    assert s0.shape == s1.shape == (3, A)
+    assert not np.allclose(s0, s1)
