@@ -19,6 +19,24 @@ import numpy as np
 _RUNTIME = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "runtime")
 _LIB_PATH = os.path.join(_RUNTIME, "libdfd_envpool.so")
 
+
+def _find_lib() -> Optional[str]:
+    """Search order: explicit env var -> source checkout (runtime/) ->
+    installed package (dfd_tpu/_native, populated by the wheel build)."""
+    explicit = os.environ.get("DFD_ENVPOOL_LIB")
+    if explicit and os.path.exists(explicit):
+        return explicit
+    if os.path.exists(_LIB_PATH):
+        return _LIB_PATH
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "_native", "libdfd_envpool.so",
+    )
+    if os.path.exists(pkg):
+        return pkg
+    return None
+
+
 _lib = None
 
 
@@ -26,14 +44,16 @@ def _load(build_if_missing: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build_if_missing:
+    path = _find_lib()
+    if path is None and build_if_missing and os.path.exists(_RUNTIME):
         try:
             subprocess.run([os.path.join(_RUNTIME, "build.sh")], check=True, capture_output=True)
         except Exception:
             return None
-    if not os.path.exists(_LIB_PATH):
+        path = _find_lib()
+    if path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(path)
     lib.dfd_trap_pool_create.restype = ctypes.c_void_p
     lib.dfd_trap_pool_create.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

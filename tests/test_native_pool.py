@@ -63,3 +63,17 @@ def test_native_throughput_smoke():
     dt = time.perf_counter() - t0
     steps_per_s = n * iters / dt
     assert steps_per_s > 100_000, steps_per_s
+
+
+def test_lib_search_order(tmp_path, monkeypatch):
+    """DFD_ENVPOOL_LIB overrides; otherwise the source checkout's runtime/
+    build is found (wheel installs fall through to dfd_tpu/_native)."""
+    from dfd_tpu.envs import native_pool
+
+    found = native_pool._find_lib()
+    assert found is not None and found.endswith("libdfd_envpool.so")
+
+    override = tmp_path / "libdfd_envpool.so"
+    override.write_bytes(b"")  # existence is all _find_lib checks
+    monkeypatch.setenv("DFD_ENVPOOL_LIB", str(override))
+    assert native_pool._find_lib() == str(override)
