@@ -31,6 +31,70 @@ def _to_chw(frame: np.ndarray) -> np.ndarray:
     return f
 
 
+class ActionPlaybackRecorder:
+    """Opt-in action-playback recording for host-surface envs — the
+    reference trap env's offline behavior-inspection dump (reference
+    custom_envs/simple_trap_env/environment.py:50-52, 63-75).
+
+    On each ``reset()``, if the episode that just ended ran the full
+    ``episode_length + 1`` steps (the reference env reports done on the
+    201st step), one line is appended to ``{folder}/{opt_id}.txt``: the
+    first ``episode_length`` actions, space-separated with a leading space
+    — byte-identical to the reference's ``Environment.save``.  Shorter
+    episodes are silently dropped, like the reference."""
+
+    def __init__(
+        self,
+        env,
+        opt_id: str | None = None,
+        episode_length: int = 200,
+        folder: str = "data/custom_novelty_playbacks/in_progress",
+    ):
+        import os
+
+        self._env = env
+        self.opt_id = opt_id if opt_id is not None else "fd_worker_{}".format(os.getpid())
+        self.episode_length = episode_length
+        self.folder = folder
+        self.action_record: list = []
+        for attr in ("n_actions", "obs_shape", "action_space", "observation_space"):
+            if hasattr(env, attr):
+                setattr(self, attr, getattr(env, attr))
+
+    def seed(self, seed):
+        if hasattr(self._env, "seed"):
+            self._env.seed(seed)
+
+    def reset(self):
+        if len(self.action_record) > 0:
+            self._save()
+        self.action_record = []
+        return self._env.reset()
+
+    def step(self, action):
+        out = self._env.step(action)
+        self.action_record.append(action)
+        return out
+
+    def _save(self) -> None:
+        # the reference only keeps complete episodes (environment.py:64-65)
+        if len(self.action_record) != self.episode_length + 1:
+            return
+        import os
+
+        os.makedirs(self.folder, exist_ok=True)
+        with open(os.path.join(self.folder, f"{self.opt_id}.txt"), "a") as f:
+            string = ""
+            for arg in self.action_record[: self.episode_length]:
+                string = "{} {}".format(string, arg)
+            f.write(string)
+            f.write("\n")
+
+    def close(self):
+        if hasattr(self._env, "close"):
+            self._env.close()
+
+
 class ImpalaObsWrapper:
     def __init__(self, env):
         self._env = env

@@ -97,3 +97,34 @@ def test_scan_rollout_matches_python_loop():
     _, (rews, dones) = jax.jit(lambda s, acts: jax.lax.scan(scan_fn, s, acts))(st0, jnp.asarray(actions))
     n = int(np.argmax(np.asarray(dones))) + 1
     np.testing.assert_allclose(np.asarray(rews)[:n], np.asarray(py_rewards), rtol=0)
+
+
+def test_action_playback_recorder_reference_format(tmp_path):
+    """ActionPlaybackRecorder reproduces the reference trap env's playback
+    dump byte-for-byte (reference environment.py:50-52, 63-75): on reset, a
+    full (episode_length+1)-step record appends one space-prefixed line of
+    the first episode_length actions; short episodes are dropped."""
+    from dfd_tpu.envs.wrappers import ActionPlaybackRecorder
+    from dfd_tpu.runners.host_env import HostEnv
+
+    folder = str(tmp_path / "playbacks")
+    env = ActionPlaybackRecorder(
+        HostEnv(TrapEnv()), opt_id="w1", episode_length=3, folder=folder
+    )
+    path = tmp_path / "playbacks" / "w1.txt"
+
+    env.reset()
+    for a in (4, 2, 7, 1):  # full episode: episode_length + 1 = 4 steps
+        env.step(a)
+    env.reset()
+    assert path.read_bytes() == b" 4 2 7\n"
+
+    for a in (5, 5):  # short episode: dropped
+        env.step(a)
+    env.reset()
+    assert path.read_bytes() == b" 4 2 7\n"
+
+    for a in (0, 8, 3, 6):  # lines append across episodes
+        env.step(a)
+    env.reset()
+    assert path.read_bytes() == b" 4 2 7\n 0 8 3\n"
