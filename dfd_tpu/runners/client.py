@@ -33,6 +33,12 @@ class ClientRunner:
         self.env = None
         self.strategy_handler = None
         self.rng = None
+        self._stop = False
+
+    def request_stop(self) -> None:
+        """Ask a running :meth:`run` loop (typically on another thread) to
+        exit gracefully at its next iteration or reconnect poll."""
+        self._stop = True
 
     def run(self, max_iterations: Optional[int] = None, reconnect_attempts: int = 60) -> bool:
         """Returns False if the server connection was permanently lost."""
@@ -45,7 +51,7 @@ class ClientRunner:
         self.worker.update(client.current_state)
 
         iterations = 0
-        while max_iterations is None or iterations < max_iterations:
+        while not self._stop and (max_iterations is None or iterations < max_iterations):
             iterations += 1
             returns = []
             t1 = time.time()
@@ -59,6 +65,9 @@ class ClientRunner:
             elif status == FDClient.RPC_FAILED_FLAG:
                 recovered = False
                 for _ in range(reconnect_attempts):
+                    if self._stop:
+                        client.disconnect()
+                        return True
                     time.sleep(1)
                     status = client.get_server_state()
                     if status != FDClient.RPC_FAILED_FLAG:

@@ -392,3 +392,74 @@ def test_slice_client_distributed_training_with_staleness():
         [row["Delayed Ratio"] for row in reporter.history]
     )
     ct.join(timeout=60)
+
+
+def test_client_survives_server_crash_and_retargets():
+    """Fault injection the reference never had (SURVEY 5.3): the learner
+    process dies mid-run; the client rides its reconnect loop until a NEW
+    server binds the same port under a NEW experiment id, then retargets in
+    place (reference run_client.py:60-94 semantics) and keeps contributing."""
+    from dfd_tpu.runners.client import ClientRunner
+    from dfd_tpu.runners.policy import HostPolicy
+    from dfd_tpu.utils.factory import get_init_data
+
+    _env, model, _dist = get_init_data("SimpleTrapEnv-v0", 5)
+    cfg = {
+        "env_id": "SimpleTrapEnv-v0", "noise_std": 0.02, "normalize_obs": False,
+        "obs_stats_update_chance": 0.01, "random_seed": 5, "eval_prob": 0.05,
+        "max_strategy_history_size": 4, "noise_kind": "pcg", "antithetic": False,
+        "noise_seed": 5,
+    }
+
+    def make_state(experiment):
+        return FDState(
+            strategy_frames=np.zeros((4, 2), np.float32),
+            strategy_history=np.zeros((1, 4, 9), np.float32),
+            policy_params=HostPolicy(model, seed=5).serialize(),
+            epoch=0, experiment_id=experiment, obs_stats=[0.0] * 5, cfg=dict(cfg),
+        )
+
+    def wait_returns(srv, timeout):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            with srv.interface._lock:
+                if srv.interface._returns:
+                    return
+            time.sleep(0.05)
+        raise AssertionError("no returns arrived")
+
+    srv1 = FDServer(make_state("expA"))
+    port = srv1.start(port=0)
+
+    runner = ClientRunner(port=port, collect_window_s=0.002)
+    result = {}
+    t = threading.Thread(
+        target=lambda: result.setdefault("ok", runner.run(reconnect_attempts=30)),
+        daemon=True,
+    )
+    t.start()
+    try:
+        wait_returns(srv1, timeout=60.0)
+        srv1.stop(grace=0)  # crash the learner mid-run
+
+        time.sleep(0.5)  # client hits RPC_FAILED and enters its reconnect loop
+        srv2 = FDServer(make_state("expB"))
+        for _ in range(40):  # the freed port can take a moment to rebind
+            try:
+                srv2.start(port=port)
+                break
+            except Exception:
+                time.sleep(0.25)
+        try:
+            wait_returns(srv2, timeout=60.0)
+            # recovery retargets before the next submit, so every return the
+            # new server sees comes from the reconfigured expB worker
+            assert runner.client.current_state.experiment_id == "expB"
+        finally:
+            runner.request_stop()
+            t.join(timeout=30)
+            srv2.stop(grace=0)
+        assert not t.is_alive()
+        assert result["ok"] is True
+    finally:
+        runner.request_stop()
