@@ -34,6 +34,14 @@ def cmd_train(args) -> int:
     from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
     from dfd_tpu.utils.metrics import make_reporter
 
+    if args.playback_id and args.topology != "sequential":
+        print(
+            "error: --playback-id requires --topology sequential (device "
+            "rollouts have no per-episode host action stream)",
+            file=sys.stderr,
+        )
+        return 2
+
     if args.topology == "vectorized":
         from dfd_tpu.runners import VectorizedTrainer
         from dfd_tpu.utils.factory import get_vectorized_init_data
@@ -86,6 +94,10 @@ def cmd_train(args) -> int:
     from dfd_tpu.utils.factory import get_init_data
 
     env, model, distance_fn = get_init_data(args.env, args.seed)
+    if args.playback_id:
+        from dfd_tpu.envs.wrappers import ActionPlaybackRecorder
+
+        env = ActionPlaybackRecorder(env, opt_id=args.playback_id)
     runner = SequentialRunner(
         model,
         env,
@@ -215,6 +227,10 @@ def main(argv=None) -> int:
                    help="microbatch the population to bound memory")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
+    p.add_argument("--playback-id", default=None,
+                   help="record complete episodes' action sequences to "
+                        "data/custom_novelty_playbacks/in_progress/<id>.txt "
+                        "(sequential topology only; reference trap-env dump format)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_train)
 

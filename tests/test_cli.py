@@ -62,3 +62,22 @@ def test_cli_antithetic_requires_vectorized(capsys):
     )
     assert rc == 2
     assert "antithetic" in capsys.readouterr().err
+
+
+def test_cli_playback_recording(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main(
+        ["train", "--topology", "sequential", "--env", "SimpleTrapEnv-v0",
+         "--epochs", "1", "--batch-size", "3", "--zeta-size", "8",
+         "--history-size", "4", "--quiet", "--playback-id", "cli_worker"]
+    )
+    assert rc == 0
+    path = tmp_path / "data" / "custom_novelty_playbacks" / "in_progress" / "cli_worker.txt"
+    lines = path.read_text().splitlines()
+    assert len(lines) >= 3  # one line per complete 201-step trap episode
+    assert all(len(l.split()) == 200 for l in lines)
+
+    # device topologies have no host action stream: reject, don't ignore
+    rc = main(["train", "--env", "SimpleTrapEnv-v0", "--epochs", "1",
+               "--batch-size", "4", "--quiet", "--playback-id", "x"])
+    assert rc == 2
