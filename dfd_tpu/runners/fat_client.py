@@ -119,9 +119,10 @@ class FatClientRunner:
         sigma = float(cfg["noise_std"])
         self.normalize_obs = bool(cfg["normalize_obs"])
 
-        eval_env, model, _dist = get_init_data(env_id, seed)
+        eval_env, model, distance_fn = get_init_data(env_id, seed)
         self.model = model
         self.policy = HostPolicy(model, seed=seed)
+        self.max_history = int(cfg.get("max_strategy_history_size", 2))
         # the SHARED base seed (never client-minted): all shards and the
         # server must regenerate identical noise per (epoch, member id)
         self.antithetic = bool(cfg.get("antithetic", False))
@@ -132,7 +133,9 @@ class FatClientRunner:
         )
         vec = self._vector_env_factory(env_id, self.n_envs, seed)
         self.evaluator = BatchedHostEvaluator(
-            model, vec, self.noise, sigma, normalize_obs=self.normalize_obs
+            model, vec, self.noise, sigma, normalize_obs=self.normalize_obs,
+            obs_stats_update_chance=float(cfg["obs_stats_update_chance"]),
+            distance_fn=distance_fn,
         )
         self.eval_agent = Agent(
             self.policy, eval_env, seed, normalize_obs=self.normalize_obs,
@@ -149,14 +152,28 @@ class FatClientRunner:
         self.epoch = state.epoch
         if state.obs_stats is not None:
             self.fixed_obs_stats.deserialize(state.obs_stats)
+        # zeta + archive (zero-padded to a fixed leading extent so the
+        # novelty jit compiles once) for device-computed per-member novelty
+        self.zeta = None if state.strategy_frames is None else np.asarray(
+            state.strategy_frames, np.float32
+        )
+        t = state.strategy_history
+        self.archive_count = 0
+        self.archive = None
+        if t is not None and np.asarray(t).ndim == 3:
+            t = np.asarray(t, np.float32)
+            self.archive_count = min(len(t), self.max_history)
+            self.archive = np.zeros((self.max_history,) + t.shape[1:], np.float32)
+            self.archive[: self.archive_count] = t[: self.archive_count]
 
     def _collect_window(self):
         self._key, sub = jax.random.split(self._key)
         offset = ((self._seed * 2654435761) ^ (self.windows * 97)) & 0x3FFFFFFF
         if self.antithetic:
             offset &= ~1  # even-align so each shard holds complete +-eps pairs
+        flat = self.policy.get_trainable_flat()
         returns = self.evaluator.evaluate_population(
-            self.policy.get_trainable_flat(),
+            flat,
             self.policy.bn_state,
             epoch=self.epoch,
             horizon=self.horizon,
@@ -164,14 +181,22 @@ class FatClientRunner:
             obs_mean=self.fixed_obs_stats.mean if self.normalize_obs else None,
             obs_std=self.fixed_obs_stats.std if self.normalize_obs else None,
             id_offset=offset,
+            zeta=self.zeta,
+            archive=self.archive,
+            archive_count=self.archive_count,
         )
         if self.rng.uniform(0, 1) < self.eval_prob:
             rew, ent, steps = self.eval_agent.collect_return(
                 eval_run=True, save_states=True,
                 mean=self.fixed_obs_stats.mean, std=self.fixed_obs_stats.std,
             )
+            eval_novelty = self.evaluator.compute_novelty(
+                flat[None, :], self.policy.bn_state,
+                self.zeta, self.archive, self.archive_count,
+            )[0]
             ret = FDReturn(
                 epoch=self.epoch, encoded_noise="0", reward=rew, entropy=ent,
+                novelty=float(eval_novelty),
                 timesteps=steps, is_eval=True,
                 eval_states=[frame_of(s) for s in self.eval_agent.saved_states],
                 obs_stats_update=self.eval_agent.obs_stats.serialize(),

@@ -23,7 +23,7 @@ worker: a "fat client" contributing a whole population shard per window.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,14 +35,51 @@ from dfd_tpu.models import layers
 from dfd_tpu.models.base import PolicyModel
 
 
+class BatchWelford:
+    """Per-member streaming mean/variance, vectorized over the population.
+
+    Same update algebra as :class:`dfd_tpu.core.welford.Welford` (reference
+    utils/math_helpers.py:7-44) applied to a masked row subset per step —
+    this is what gives every non-eval fat-client return its own sampled
+    Welford delta (reference worker/agent.py:38-39 semantics)."""
+
+    def __init__(self, n: int, shape):
+        self.shape = tuple(shape)
+        self.mean = np.zeros((n,) + self.shape, np.float32)
+        self.m2 = np.zeros((n,) + self.shape, np.float32)
+        self.count = np.zeros(n, np.int64)
+
+    def update_masked(self, obs: np.ndarray, mask: np.ndarray) -> None:
+        if not mask.any():
+            return
+        obs = np.asarray(obs, np.float32)[mask].reshape((-1,) + self.shape)
+        self.count[mask] += 1
+        c = self.count[mask].reshape((-1,) + (1,) * len(self.shape)).astype(np.float32)
+        delta = obs - self.mean[mask]
+        delta_n = delta / c
+        self.mean[mask] += delta_n
+        self.m2[mask] += delta * delta_n * (c - 1)
+
+    def serialize_member(self, i: int) -> List[float]:
+        """Wire format of one member's delta (Welford.serialize layout)."""
+        return (
+            self.mean[i].ravel().tolist()
+            + self.m2[i].ravel().tolist()
+            + [int(self.count[i])]
+        )
+
+
 class BatchedHostEvaluator:
     def __init__(self, model: PolicyModel, vector_env, noise: CounterNoise, sigma: float,
-                 normalize_obs: bool = False):
+                 normalize_obs: bool = False, obs_stats_update_chance: float = 0.0,
+                 distance_fn: Optional[Callable] = None):
         self.model = model
         self.env = vector_env
         self.noise = noise
         self.sigma = sigma
         self.normalize_obs = normalize_obs
+        self.obs_stats_update_chance = obs_stats_update_chance
+        self.distance_fn = distance_fn
         self.n = vector_env.n_envs
 
         def act(pop_flats, bn_state, obs, key, obs_mean, obs_std):
@@ -98,6 +135,45 @@ class BatchedHostEvaluator:
             * jax.vmap(lambda i: noise.generate(epoch, i))(offset + jnp.arange(self.n))
         )
 
+        def batch_novelty(pop_flats, bn_state, zeta, archive, count):
+            """Min behavioral distance of each member to the broadcast
+            archive, 0 and forward-free below 2 entries (the reference guard,
+            strategy/strategy_handler.py:25-31)."""
+
+            def compute(_):
+                def one(flat):
+                    params = model.set_flat(flat, xp=jnp)
+                    strat = model.strategy(params, bn_state, zeta)
+                    dists = self.distance_fn(strat, archive, xp=jnp)
+                    idx = jnp.arange(archive.shape[0])
+                    return jnp.min(jnp.where(idx < count, dists, jnp.inf))
+
+                return jax.vmap(one)(pop_flats)
+
+            def skip(_):
+                return jnp.zeros((pop_flats.shape[0],), jnp.float32)
+
+            return jax.lax.cond(count >= 2, compute, skip, None)
+
+        self._batch_novelty = jax.jit(batch_novelty)
+
+    def compute_novelty(self, flats, bn_state, zeta, archive, count: int) -> np.ndarray:
+        """Per-row novelty of ``flats`` [K, d] vs a zero-padded [H, Z, F]
+        archive tensor holding ``count`` live entries — callers pad to a
+        fixed H so the jit cache stays warm across broadcasts."""
+        if self.distance_fn is None or zeta is None or archive is None or count < 2:
+            return np.zeros(np.asarray(flats).shape[0], np.float32)
+        archive = np.asarray(archive, np.float32)
+        if archive.ndim != 3:
+            return np.zeros(np.asarray(flats).shape[0], np.float32)
+        return np.asarray(
+            self._batch_novelty(
+                jnp.asarray(flats, jnp.float32), bn_state,
+                jnp.asarray(zeta, jnp.float32), jnp.asarray(archive),
+                jnp.int32(count),
+            )
+        )
+
     def evaluate_population(
         self,
         flat: np.ndarray,
@@ -108,10 +184,20 @@ class BatchedHostEvaluator:
         obs_mean: Optional[np.ndarray] = None,
         obs_std: Optional[np.ndarray] = None,
         id_offset: int = 0,
+        zeta=None,
+        archive=None,
+        archive_count: int = 0,
     ) -> List[FDReturn]:
         """One episode per population member (member ``id_offset + i`` <->
         env i), lockstep.  ``id_offset`` keeps member ids globally unique
-        across elastic fat clients."""
+        across elastic fat clients.
+
+        When ``normalize_obs`` and ``obs_stats_update_chance`` are set, each
+        member samples its own Welford delta from the raw observations it
+        visits (reference worker/agent.py:38-39) and ships it on its return;
+        when ``zeta``/``archive`` (and a ``distance_fn``) are given, each
+        return also carries its device-computed novelty vs the broadcast
+        archive (reference worker/worker.py:53)."""
         n = self.n
         pop_flats = self._perturb(jnp.asarray(flat, jnp.float32), epoch, id_offset)
         obs = self.env.reset_all()
@@ -123,6 +209,13 @@ class BatchedHostEvaluator:
         steps = np.zeros(n, np.int64)
         alive = np.ones(n, bool)
 
+        sample_stats = self.normalize_obs and self.obs_stats_update_chance > 0
+        if sample_stats:
+            stats = BatchWelford(n, obs.shape[1:])
+            stats_rng = np.random.default_rng(
+                np.asarray(jax.random.key_data(key)).ravel().astype(np.uint32)
+            )
+
         recurrent = self.model.recurrent
         if recurrent:
             carry = self._init_carry()
@@ -130,6 +223,11 @@ class BatchedHostEvaluator:
 
         for t in range(horizon):
             key, sub = jax.random.split(key)
+            if sample_stats:
+                # sample the RAW obs the member is about to act on
+                stats.update_masked(
+                    obs, alive & (stats_rng.random(n) < self.obs_stats_update_chance)
+                )
             if recurrent:
                 actions, entropies, carry = self._act_recurrent(
                     pop_flats, bn_state, obs, prev_rewards, carry, sub, obs_mean, obs_std
@@ -150,14 +248,19 @@ class BatchedHostEvaluator:
             if not alive.any():
                 break
 
+        novelty = self.compute_novelty(pop_flats, bn_state, zeta, archive, archive_count)
+
         out = []
         for i in range(n):
             r = FDReturn(
                 epoch=epoch,
                 encoded_noise="{},{}".format(epoch, id_offset + i),
                 reward=float(rewards[i]),
+                novelty=float(novelty[i]),
                 entropy=float(ent_sum[i] / max(int(steps[i]), 1)),
                 timesteps=int(steps[i]),
             )
+            if sample_stats and stats.count[i] > 0:
+                r.obs_stats_update = stats.serialize_member(i)
             out.append(r)
         return out

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dfd_tpu.core import welford
 from dfd_tpu.core.noise import CounterNoise
 from dfd_tpu.core.welford import Welford
 from dfd_tpu.distributed.client import FDClient
@@ -40,11 +41,20 @@ class SliceClientRunner:
         apply_state_every: int = 1,
         mesh: Optional[jax.sharding.Mesh] = None,
         mesh_axis: str = "pop",
+        wait_for_new_state: bool = False,
+        state_wait_timeout: float = 60.0,
     ):
         """``apply_state_every``: apply NEW_STATE broadcasts only every k-th
         window — k>1 deliberately lags the shard's epoch tag behind the
         server (the staleness regime the drift correction exists for;
         in production the lag arises from compute/transfer time instead).
+
+        ``wait_for_new_state``: after submitting a window, poll (up to
+        ``state_wait_timeout`` s) until the server broadcasts a fresh state
+        before collecting the next one.  Off by default (pure async — a fast
+        slice may evaluate several windows at the same stale epoch); on, the
+        slice paces 1:1 with learner epochs instead of burning device time
+        re-evaluating parameters it has already covered.
 
         ``mesh``: optional device mesh; the population shard is sharded over
         its ``mesh_axis`` so one slice-client spans all local chips."""
@@ -53,6 +63,8 @@ class SliceClientRunner:
         self.apply_state_every = max(int(apply_state_every), 1)
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        self.wait_for_new_state = wait_for_new_state
+        self.state_wait_timeout = state_wait_timeout
         self.client = FDClient()
         self.windows = 0
         self.epoch = 0
@@ -74,6 +86,14 @@ class SliceClientRunner:
             client.submit_returns(returns)
 
             status = client.get_server_state()
+            if self.wait_for_new_state:
+                deadline = time.time() + self.state_wait_timeout
+                while (
+                    status == FDClient.OPERATION_SUCCESSFUL_FLAG
+                    and time.time() < deadline
+                ):
+                    time.sleep(0.02)
+                    status = client.get_server_state()
             if status == FDClient.RPC_FAILED_FLAG:
                 recovered = False
                 for _ in range(reconnect_attempts):
@@ -113,10 +133,12 @@ class SliceClientRunner:
         if self.antithetic and self.n_members % 2 != 0:
             raise RuntimeError("antithetic mode needs an even shard size")
 
-        env, model, _dist = get_vectorized_init_data(env_id)
+        env, model, distance_fn = get_vectorized_init_data(env_id)
         self.model = model
         self.env = env
+        self.distance_fn = distance_fn
         self.horizon = env.max_episode_steps
+        self.max_history = int(cfg.get("max_strategy_history_size", 2))
         self.noise = CounterNoise(
             model.num_params, random_seed=int(cfg["noise_seed"]), antithetic=self.antithetic
         )
@@ -129,21 +151,71 @@ class SliceClientRunner:
         noise = self.noise
         horizon = self.horizon
         normalize_obs = self.normalize_obs
-        chance = self.obs_stats_update_chance
+        chance = self.obs_stats_update_chance if normalize_obs else 0.0
+        # one zero-noise deterministic eval member fused into the population
+        # vmap (the ~free-eval trick, runners/vectorized.py); on a mesh the
+        # slot is replicated once per device so P + n_eval still shards evenly
+        n_eval = 1 if self.mesh is None else int(self.mesh.shape[self.mesh_axis])
+        self.n_eval = n_eval
 
-        def eval_shard(flat, epoch, member_ids, bn_state, key, obs_mean, obs_std):
+        def eval_shard(flat, epoch, member_ids, bn_state, key, obs_mean, obs_std,
+                       zeta, archive, archive_count):
+            Z = zeta.shape[0]
             eps = jax.vmap(lambda i: noise.generate(epoch, i))(member_ids)
-            pop_flats = self._shard(flat[None, :] + sigma * eps)
-            pop_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(pop_flats)
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(member_ids)
-            res = fd_rollout.population_rollout(
-                model, env, pop_params, bn_state, keys, horizon,
-                obs_mean=obs_mean, obs_std=obs_std,
-                normalize_obs=normalize_obs,
-                obs_stats_update_chance=chance,
-                collect_states=False,
+            pop_flats = flat[None, :] + sigma * eps
+            all_flats = self._shard(
+                jnp.concatenate([pop_flats, jnp.tile(flat[None, :], (n_eval, 1))])
             )
-            return res.reward, res.entropy, res.steps
+            pop_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(member_ids)
+            eval_key = jax.random.fold_in(key, jnp.uint32(0xE7A1))
+            all_keys = jnp.concatenate([pop_keys, jax.random.split(eval_key, n_eval)])
+            det = jnp.zeros((P + n_eval,), bool).at[P:].set(True)
+            all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
+
+            def one(params, k, d):
+                return fd_rollout.episode_rollout(
+                    model, env, params, bn_state, k, horizon,
+                    deterministic=d,
+                    obs_mean=obs_mean, obs_std=obs_std,
+                    normalize_obs=normalize_obs,
+                    obs_stats_update_chance=chance,
+                    collect_states=False,
+                    collect_limit=Z,
+                )
+
+            res = jax.vmap(one)(all_params, all_keys, det)
+
+            # novelty vs the broadcast archive (guard: <2 entries -> 0,
+            # forwards skipped — reference strategy_handler.py:25-31)
+            def compute_nov(_):
+                def nov_one(params):
+                    strat = model.strategy(params, bn_state, zeta)
+                    dists = distance_fn(strat, archive, xp=jnp)
+                    idx = jnp.arange(archive.shape[0])
+                    return jnp.min(jnp.where(idx < archive_count, dists, jnp.inf))
+
+                return jax.vmap(nov_one)(all_params)
+
+            novelty = jax.lax.cond(
+                archive_count >= 2,
+                compute_nov,
+                lambda _: jnp.zeros((P + n_eval,), jnp.float32),
+                None,
+            )
+
+            # one merged Welford delta per window: population members plus
+            # ONE eval member (replicated eval slots would double-count)
+            merged_stats = welford.jnp_merge_population(
+                jax.tree.map(lambda x: x[: P + 1], res.obs_stats)
+            )
+
+            pop = jax.tree.map(lambda x: x[:P], res)
+            ev = jax.tree.map(lambda x: x[P], res)
+            return (
+                pop.reward, pop.entropy, pop.steps, novelty[:P],
+                ev.reward, ev.entropy, ev.steps, ev.states, novelty[P],
+                merged_stats,
+            )
 
         self._eval_shard = jax.jit(eval_shard)
 
@@ -165,6 +237,25 @@ class SliceClientRunner:
         self.epoch = state.epoch
         if state.obs_stats is not None:
             self.fixed_obs_stats.deserialize(state.obs_stats)
+        # zeta + zero-padded archive for device-side novelty; the fixed
+        # leading extent keeps one jit compilation across broadcasts
+        self.zeta = (
+            np.asarray(state.strategy_frames, np.float32)
+            if state.strategy_frames is not None
+            else np.zeros((1,) + tuple(self.env.obs_shape), np.float32)
+        )
+        t = state.strategy_history
+        F = (
+            self.model.output_shape
+            if self.model.discrete
+            else 2 * self.model.output_shape
+        )
+        self.archive = np.zeros((self.max_history, self.zeta.shape[0], F), np.float32)
+        self.archive_count = 0
+        if t is not None and np.asarray(t).ndim == 3:
+            t = np.asarray(t, np.float32)
+            self.archive_count = min(len(t), self.max_history)
+            self.archive[: self.archive_count] = t[: self.archive_count]
 
     def _collect_window(self):
         self._key, sub = jax.random.split(self._key)
@@ -174,20 +265,52 @@ class SliceClientRunner:
         member_ids = offset + jnp.arange(self.n_members)
         obs_mean = jnp.asarray(self.fixed_obs_stats.mean, jnp.float32)
         obs_std = jnp.asarray(self.fixed_obs_stats.std, jnp.float32)
-        rewards, entropies, steps = self._eval_shard(
+        (rewards, entropies, steps, novelty,
+         ev_reward, ev_entropy, ev_steps, ev_states, ev_novelty,
+         merged_stats) = self._eval_shard(
             jnp.asarray(self.flat), self.epoch, member_ids, self.bn_state,
             sub, obs_mean, obs_std,
+            jnp.asarray(self.zeta), jnp.asarray(self.archive),
+            jnp.int32(self.archive_count),
         )
         rewards = np.asarray(rewards)
         entropies = np.asarray(entropies)
         steps = np.asarray(steps)
-        return [
+        novelty = np.asarray(novelty)
+        returns = [
             FDReturn(
                 epoch=self.epoch,
                 encoded_noise="{},{}".format(self.epoch, int(offset) + i),
                 reward=float(rewards[i]),
+                novelty=float(novelty[i]),
                 entropy=float(entropies[i]),
                 timesteps=int(steps[i]),
             )
             for i in range(self.n_members)
         ]
+        # the window's merged Welford delta rides on the first return (the
+        # Chan merge is associative, so one merged delta per window is
+        # equivalent to the reference's per-return deltas, run_server.py:143)
+        n_sampled = float(merged_stats.count)
+        if n_sampled > 0:
+            returns[0].obs_stats_update = (
+                np.asarray(merged_stats.mean, np.float64).ravel().tolist()
+                + np.asarray(merged_stats.m2, np.float64).ravel().tolist()
+                + [n_sampled]
+            )
+        # eval duties: the fused deterministic member refreshes zeta, the EMA
+        # baselines and omega server-side (reference worker/worker.py:34-35)
+        n_keep = int(min(int(ev_steps), self.zeta.shape[0]))
+        returns.append(
+            FDReturn(
+                epoch=self.epoch,
+                encoded_noise="0",
+                reward=float(ev_reward),
+                novelty=float(ev_novelty),
+                entropy=float(ev_entropy),
+                timesteps=int(ev_steps),
+                is_eval=True,
+                eval_states=np.asarray(ev_states)[:n_keep],
+            )
+        )
+        return returns

@@ -394,6 +394,118 @@ def test_slice_client_distributed_training_with_staleness():
     ct.join(timeout=60)
 
 
+def test_slice_client_full_duties_obs_stats_zeta_omega_novelty():
+    """A slice-ONLY deployment must not silently lose reference capabilities
+    (round-2 verdict): population Welford deltas advance the server's global
+    obs statistics (reference worker/agent.py:38-39 -> run_server.py:143),
+    the fused deterministic eval member refreshes zeta and steps omega
+    (reference worker/worker.py:34-35, run_sequential.py:137-151), and every
+    member ships device-computed novelty (reference worker/worker.py:53)."""
+    from dfd_tpu.runners.slice_client import SliceClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0",
+        batch_size=6,
+        zeta_size=4,
+        max_strategy_history_size=4,
+        normalize_obs=True,
+        obs_stats_update_chance=0.2,
+        random_seed=43,
+        port=0,
+        noise_kind="counter",
+        reporter=reporter,
+        timestep_limit=10_000_000,
+    )
+    initial_obs_count = server.global_obs_stats.count
+    initial_zeta = np.array(server.zeta, copy=True)
+
+    result = {}
+
+    def client_main():
+        for _ in range(200):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        # pace windows against broadcasts so each window sees the newest
+        # archive/zeta (the pure-async default can burn all its windows at
+        # epoch 0 before the first broadcast lands)
+        runner = SliceClientRunner(
+            n_members=6, port=server.bound_port, wait_for_new_state=True,
+        )
+        result["ok"] = runner.run(max_windows=40, reconnect_attempts=3)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=5), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=300)
+    assert not st.is_alive(), "server loop did not finish"
+    assert len(reporter.history) >= 2
+
+    # distributed observation statistics advanced past the seed buffer
+    assert server.global_obs_stats.count > initial_obs_count, (
+        server.global_obs_stats.count, initial_obs_count,
+    )
+    # zeta was refreshed by the slice's eval states
+    assert not np.array_equal(np.asarray(server.zeta), initial_zeta)
+    # omega stepped (its reward history only advances on eval epochs)
+    assert len(server.omega.reward_history) > 0
+    # per-member novelty flowed once the archive had >= 2 entries
+    assert any(row["Noisy Novelty"] > 0 for row in reporter.history), (
+        [row["Noisy Novelty"] for row in reporter.history]
+    )
+    # the eval EMA is live (None would mean no eval return ever landed)
+    assert server.policy_reward is not None
+    assert server.learner.discarded_returns == 0
+    ct.join(timeout=60)
+
+
+def test_fat_client_population_obs_stats_flow():
+    """Fat-client population episodes must sample and ship per-member Welford
+    deltas (not only the rare eval episode) so a normalize_obs server's
+    statistics keep advancing (reference worker/worker.py:47-57)."""
+    from dfd_tpu.runners.fat_client import FatClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0",
+        batch_size=6,
+        zeta_size=4,
+        max_strategy_history_size=4,
+        normalize_obs=True,
+        obs_stats_update_chance=0.2,
+        random_seed=44,
+        port=0,
+        noise_kind="counter",
+        reporter=reporter,
+        timestep_limit=10_000_000,
+        eval_prob=0.0,  # NO eval episodes: stats must flow from the population
+    )
+    initial_obs_count = server.global_obs_stats.count
+
+    def client_main():
+        for _ in range(200):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        FatClientRunner(n_envs=8, port=server.bound_port).run(max_windows=30)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=3), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=300)
+    assert not st.is_alive(), "server loop did not finish"
+    assert server.global_obs_stats.count > initial_obs_count
+    assert server.learner.discarded_returns == 0
+    ct.join(timeout=60)
+
+
 def test_client_survives_server_crash_and_retargets():
     """Fault injection the reference never had (SURVEY 5.3): the learner
     process dies mid-run; the client rides its reconnect loop until a NEW
