@@ -168,7 +168,9 @@ class SliceClientRunner:
             )
             pop_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(member_ids)
             eval_key = jax.random.fold_in(key, jnp.uint32(0xE7A1))
-            all_keys = jnp.concatenate([pop_keys, jax.random.split(eval_key, n_eval)])
+            # every eval slot carries eval_key itself: slot P's episode is
+            # identical with or without a mesh
+            all_keys = jnp.concatenate([pop_keys, jnp.repeat(eval_key[None], n_eval, axis=0)])
             det = jnp.zeros((P + n_eval,), bool).at[P:].set(True)
             all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
 

@@ -109,7 +109,9 @@ class VectorizedTrainer:
 
         zeta = self._seed_zeta()
         self._vbn_buffer = (
-            self._seed_buffer(cfg.vbn_buffer_size) if cfg.vbn_buffer_size > 0 else None
+            self._seed_buffer(cfg.vbn_buffer_size, with_rewards=True)
+            if cfg.vbn_buffer_size > 0
+            else None
         )
         self.state = TrainState(
             flat=flat,
@@ -275,12 +277,14 @@ class VectorizedTrainer:
         # The deterministic eval episode rides the population vmap as member
         # P (zero noise): a separate batch-1 eval scan costs the same wall
         # time as the whole vmapped population rollout (identical kernel
-        # count, latency-bound) — fusing it makes eval ~free.  Falls back to
-        # the separate-eval path for population chunking (the lax.map chunk
-        # structure), envs-per-member averaging, and meshes (P+1 does not
-        # shard evenly over the population axis).
+        # count, latency-bound) — fusing it makes eval ~free.  On a mesh the
+        # eval slot is replicated once per device (P + n_devices keeps the
+        # population axis evenly sharded; only slot P's result is read).
+        # Falls back to the separate-eval path for population chunking (the
+        # lax.map chunk structure) and envs-per-member averaging.
         Z = state.zeta.shape[0]
-        fused_eval = (not chunked) and self.mesh is None and E == 1 and Z > 0
+        n_eval = 1 if self.mesh is None else int(self.mesh.shape[self.cfg.mesh_axes[0]])
+        fused_eval = (not chunked) and E == 1 and Z > 0
         do_eval = (state.epoch % cfg.eval_every) == 0
         if chunked:
             # 1-3 fused, memory-bounded: lax.map over population chunks; the
@@ -327,9 +331,16 @@ class VectorizedTrainer:
                 noise_ssq = None
                 pop_flats = state.flat[None, :] + cfg.noise_std * eps
             if fused_eval:
-                all_flats = jnp.concatenate([pop_flats, state.flat[None, :]], axis=0)
-                all_keys = jnp.concatenate([roll_keys, eval_key[None]])
-                det = jnp.zeros((P + 1,), bool).at[P].set(True)
+                # every eval slot carries eval_key itself, so the slot-P
+                # episode is bit-identical to the single-chip fused eval
+                eval_keys = jnp.repeat(eval_key[None], n_eval, axis=0)
+                all_flats = self._shard_pop(
+                    jnp.concatenate(
+                        [pop_flats, jnp.tile(state.flat[None, :], (n_eval, 1))], axis=0
+                    )
+                )
+                all_keys = jnp.concatenate([roll_keys, eval_keys])
+                det = jnp.zeros((P + n_eval,), bool).at[P:].set(True)
                 all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
                 result_plus = jax.vmap(
                     lambda p, k, d: one_episode(p, k, deterministic=d, collect_limit=Z)
@@ -459,12 +470,18 @@ class VectorizedTrainer:
             new_flat = state.flat + cfg.learning_rate * gradient
         update_size = jnp.sqrt(jnp.sum((new_flat - state.flat) ** 2))
 
-        # VBN: refresh BatchNorm running stats at the updated parameters
+        # VBN: refresh BatchNorm running stats at the updated parameters.
+        # Recurrent models feed the buffer's real rewards through the LSTM
+        # (reference policies/impala.py:12-16) — same semantics as the host
+        # topologies' dict-obs buffers (runners/server.py seed buffer).
         bn_state = state.bn_state
         if self._vbn_buffer is not None:
-            bn_state = model.vbn(
-                model.set_flat(new_flat, xp=jnp), state.bn_state, self._vbn_buffer
-            )
+            vbn_obs, vbn_rewards = self._vbn_buffer
+            vbn_params = model.set_flat(new_flat, xp=jnp)
+            if model.recurrent:
+                bn_state = model.vbn(vbn_params, state.bn_state, vbn_obs, rewards=vbn_rewards)
+            else:
+                bn_state = model.vbn(vbn_params, state.bn_state, vbn_obs)
 
         # 8. merge sampled observation statistics from the population
         obs_stats = state.obs_stats
@@ -561,30 +578,38 @@ class VectorizedTrainer:
     def _seed_zeta(self) -> jnp.ndarray:
         return self._seed_buffer(self.cfg.zeta_size)
 
-    def _seed_buffer(self, n: int) -> jnp.ndarray:
+    def _seed_buffer(self, n: int, with_rewards: bool = False):
         """Observation buffer from a random-action rollout (reference
-        run_sequential.py:198-213)."""
+        run_sequential.py:198-213).  ``with_rewards`` also returns each
+        observation's arrival reward (0 at resets) — what a recurrent
+        policy's VBN pass feeds through the LSTM, mirroring the host
+        topologies' dict-obs buffers (reference utils/impala_env_wrapper.py)."""
         env = self.env
         cfg = self.cfg
         key = jax.random.key(cfg.random_seed)
 
         def step(carry, k):
-            env_state, obs = carry
+            env_state, obs, prev_reward = carry
             ak, rk = jax.random.split(k)
             if env.discrete:
                 action = jax.random.randint(ak, (), 0, env.n_actions)
             else:
                 action = jax.random.uniform(ak, (env.action_dim,), minval=-1.0, maxval=1.0)
-            new_state, new_obs, _, done = env.step(env_state, action)
+            new_state, new_obs, reward, done = env.step(env_state, action)
             reset_state, reset_obs = env.reset(rk)
             pick = lambda a, b: jax.tree.map(lambda x, y: jnp.where(done, x, y), a, b)
-            return (pick(reset_state, new_state), jnp.where(done, reset_obs, new_obs)), obs
+            next_carry = (
+                pick(reset_state, new_state),
+                jnp.where(done, reset_obs, new_obs),
+                jnp.where(done, jnp.float32(0), reward.astype(jnp.float32)),
+            )
+            return next_carry, (obs, prev_reward)
 
         k0, kr = jax.random.split(key)
-        init = env.reset(kr)
+        env_state0, obs0 = env.reset(kr)
         keys = jax.random.split(k0, n)
-        _, buf = jax.lax.scan(step, init, keys)
-        return buf
+        _, (buf, rewards) = jax.lax.scan(step, (env_state0, obs0, jnp.float32(0)), keys)
+        return (buf, rewards) if with_rewards else buf
 
     def train_to_timesteps(self, timestep_limit: int, sync_every: int = 10) -> None:
         """Train until ``cumulative_timesteps`` reaches the limit (the

@@ -145,14 +145,13 @@ def test_trainer_on_mesh_matches_single_device():
 
 
 def test_fused_eval_matches_legacy_eval_path():
-    """The ride-along eval member (single-device fused path) must reproduce
-    the separate cond-gated eval episode (the mesh/chunked legacy path) —
-    including the masking of eval contributions on non-eval epochs."""
-    devices = jax.devices()
-    mesh = jax.sharding.Mesh(np.array(devices), ("pop",))
+    """The ride-along eval member (fused path) must reproduce the separate
+    cond-gated eval episode (the chunked legacy path; meshes now fuse too,
+    with one replicated eval slot per device) — including the masking of
+    eval contributions on non-eval epochs."""
     for eval_every in (1, 2):
         tr_fused = _trainer(P=8, eval_every=eval_every)
-        tr_legacy = _trainer(P=8, mesh=mesh, eval_every=eval_every)
+        tr_legacy = _trainer(P=8, population_chunk=4, eval_every=eval_every)
         tr_fused.train(4)
         tr_legacy.train(4)
         np.testing.assert_allclose(
