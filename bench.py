@@ -16,10 +16,25 @@ are recorded too (Gaussian-MLP control, pixel CNN, IMPALA ResNet+LSTM).
 """
 
 import json
+import os
 import sys
 import time
 
+# --mesh N: weak-scaling mode over N virtual CPU devices.  The XLA flag must
+# land before jax import; the platform switch (the image pins JAX_PLATFORMS)
+# must go through jax.config below.
+_MESH_N = None
+if "--mesh" in sys.argv:
+    _MESH_N = int(sys.argv[sys.argv.index("--mesh") + 1])
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={_MESH_N}"
+    )
+
 import jax
+
+if _MESH_N is not None:
+    jax.config.update("jax_platforms", "cpu")
 
 from dfd_tpu.config import TrainConfig
 from dfd_tpu.envs.pixelgrid import PixelGridEnv
@@ -36,9 +51,10 @@ from dfd_tpu.utils.metrics import EpochReporter
 PER_CHIP_TARGET = 1_000_000 / 8  # north-star aggregate over a v4-16
 
 
-def bench_config(name, model, env, distance_fn, cfg, n_epochs):
+def bench_config(name, model, env, distance_fn, cfg, n_epochs, mesh=None):
     """Steady-state steps/s of chained jitted epochs (host out of the loop)."""
-    tr = VectorizedTrainer(model, env, distance_fn, cfg, reporter=EpochReporter(quiet=True))
+    tr = VectorizedTrainer(model, env, distance_fn, cfg, mesh=mesh,
+                           reporter=EpochReporter(quiet=True))
     archive, count = tr._archive_inputs()
     state, _ = tr._step(tr.state, archive, count)  # warmup / compile
     jax.block_until_ready(state.flat)
@@ -58,6 +74,58 @@ def bench_config(name, model, env, distance_fn, cfg, n_epochs):
         file=sys.stderr,
     )
     return steps_per_s
+
+
+def main_mesh(n_devices: int):
+    """Weak-scaling HARNESS over virtual CPU devices: population P = 256 x n
+    with the trap MLP config, sharded over an n-device ``Mesh(("pop",))``.
+
+    Caveat (reported in the output): virtual devices share ONE host's cores,
+    and the n=1 XLA:CPU program already parallelizes across all of them — so
+    these numbers validate the sharded program's functionality and bound its
+    multi-device dispatch/collective overhead; they CANNOT demonstrate
+    hardware weak scaling.  The >= 85 % 1 -> N-host north-star check
+    (BASELINE.md) runs this same trainer on a real slice via
+    tools/scaling_slice.py."""
+    from dfd_tpu.parallel import make_pop_mesh
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (len(devices), n_devices)
+    base_p = 256
+    rows = {}
+    n = 1
+    while n <= n_devices:
+        mesh = make_pop_mesh(devices[:n]) if n > 1 else None
+        rows[n] = bench_config(
+            f"mesh{n}",
+            DiscreteMLP(2, 9),
+            TrapEnv(),
+            distances.categorical_tvd,
+            TrainConfig(batch_size=base_p * n, learning_rate=0.05, noise_std=0.05,
+                        zeta_size=64, max_strategy_history_size=16, random_seed=0,
+                        scan_unroll=8),
+            n_epochs=6,
+            mesh=mesh,
+        )
+        n *= 2
+    top = max(rows)
+    print(
+        json.dumps(
+            {
+                "metric": f"fd_eval_mesh_harness_steps_per_s_{top}dev",
+                "value": round(rows[top], 1),
+                "unit": "env-steps/s (P=256 x n sharded over n VIRTUAL cpu devices)",
+                "vs_baseline": None,
+                "note": (
+                    "virtual devices share one host's cores (n=1 already uses"
+                    " them all): validates sharded functionality + dispatch"
+                    " overhead, not hardware scaling — see"
+                    " tools/scaling_slice.py for the real-slice check"
+                ),
+                "suite": {f"steps_per_s_{n}dev": round(v, 1) for n, v in rows.items()},
+            }
+        )
+    )
 
 
 def main():
@@ -132,4 +200,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if _MESH_N is not None:
+        main_mesh(_MESH_N)
+    else:
+        main()
