@@ -29,6 +29,29 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--normalize-obs", action="store_true")
 
 
+def _train_profiled(train_fn, epochs: int, args) -> None:
+    """Run ``train_fn(n)`` across ``epochs``, tracing ``--profile-epochs``
+    of them into ``--profile-dir`` (jax.profiler, TensorBoard-loadable).
+    One warmup epoch runs untraced first so the trace shows steady-state
+    device work, not the first-call compilation."""
+    if not args.profile_dir:
+        train_fn(epochs)
+        return
+    from dfd_tpu.utils.profiling import trace
+
+    warm = min(1, max(epochs - 1, 0))
+    prof = max(min(args.profile_epochs, epochs - warm), 0)
+    if warm:
+        train_fn(warm)
+    if prof:
+        with trace(args.profile_dir):
+            train_fn(prof)
+        print(f"profile: traced {prof} epoch(s) into {args.profile_dir}")
+    rest = epochs - warm - prof
+    if rest > 0:
+        train_fn(rest)
+
+
 def cmd_train(args) -> int:
     from dfd_tpu.config import TrainConfig
     from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -73,9 +96,12 @@ def cmd_train(args) -> int:
         if args.resume:
             load_checkpoint(args.resume, trainer)
         if args.fast:
-            trainer.train_fast(args.epochs, sync_every=args.sync_every)
+            _train_profiled(
+                lambda n: trainer.train_fast(n, sync_every=args.sync_every),
+                args.epochs, args,
+            )
         else:
-            trainer.train(args.epochs)
+            _train_profiled(trainer.train, args.epochs, args)
         if args.checkpoint:
             save_checkpoint(args.checkpoint, trainer)
         last = trainer.reporter.history[-1] if trainer.reporter.history else {}
@@ -97,7 +123,9 @@ def cmd_train(args) -> int:
     if args.playback_id:
         from dfd_tpu.envs.wrappers import ActionPlaybackRecorder
 
-        env = ActionPlaybackRecorder(env, opt_id=args.playback_id)
+        env = ActionPlaybackRecorder(
+            env, opt_id=args.playback_id, episode_length=args.playback_episode_length
+        )
     runner = SequentialRunner(
         model,
         env,
@@ -111,7 +139,7 @@ def cmd_train(args) -> int:
         normalize_obs=args.normalize_obs,
         reporter=make_reporter(args.wandb_project, wandb_group=args.env, quiet=args.quiet),
     )
-    runner.train(args.epochs)
+    _train_profiled(runner.train, args.epochs, args)
     return 0
 
 
@@ -137,9 +165,27 @@ def cmd_server(args) -> int:
 
 
 def cmd_client(args) -> int:
-    from dfd_tpu.runners.client import ClientRunner
+    if args.mode == "fat":
+        from dfd_tpu.runners.fat_client import FatClientRunner
 
-    ok = ClientRunner(address=args.address, port=args.port).run()
+        ok = FatClientRunner(
+            n_envs=args.n_envs, address=args.address, port=args.port
+        ).run(max_windows=args.max_windows)
+    elif args.mode == "slice":
+        from dfd_tpu.runners.slice_client import SliceClientRunner
+
+        mesh = None
+        if args.mesh:
+            from dfd_tpu.parallel import make_pop_mesh
+
+            mesh = make_pop_mesh()
+        ok = SliceClientRunner(
+            n_members=args.n_envs, address=args.address, port=args.port, mesh=mesh
+        ).run(max_windows=args.max_windows)
+    else:
+        from dfd_tpu.runners.client import ClientRunner
+
+        ok = ClientRunner(address=args.address, port=args.port).run()
     return 0 if ok else 1
 
 
@@ -231,6 +277,14 @@ def main(argv=None) -> int:
                    help="record complete episodes' action sequences to "
                         "data/custom_novelty_playbacks/in_progress/<id>.txt "
                         "(sequential topology only; reference trap-env dump format)")
+    p.add_argument("--playback-episode-length", type=int, default=None,
+                   help="complete-episode length for --playback-id (default: "
+                        "derived from the env, 200 for the trap env)")
+    p.add_argument("--profile-dir", default=None,
+                   help="emit a jax.profiler device trace (TensorBoard-loadable) "
+                        "of --profile-epochs steady-state epochs")
+    p.add_argument("--profile-epochs", type=int, default=3,
+                   help="epochs to trace into --profile-dir (after 1 warmup epoch)")
     p.add_argument("--quiet", action="store_true")
     p.set_defaults(fn=cmd_train)
 
@@ -244,6 +298,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("client", help="elastic worker")
     p.add_argument("--address", default="localhost")
     p.add_argument("--port", type=int, default=1025)
+    p.add_argument("--mode", choices=["thin", "fat", "slice"], default="thin",
+                   help="thin: one host env per process (reference run_client); "
+                        "fat: N host envs + device-batched forwards; "
+                        "slice: device-evaluated population shards (needs a "
+                        "counter-noise server)")
+    p.add_argument("--n-envs", type=int, default=64,
+                   help="envs per window (fat) / members per shard (slice)")
+    p.add_argument("--max-windows", type=int, default=None,
+                   help="stop after N collection windows (default: run forever)")
+    p.add_argument("--mesh", action="store_true",
+                   help="slice mode: shard members over all local devices")
     p.set_defaults(fn=cmd_client)
 
     p = sub.add_parser("sweep", help="random hyperparameter search")

@@ -67,7 +67,13 @@ class GymEnv:
         if self._seed is not None and hasattr(self._env, "seed"):
             self._env.seed(self._seed)
             self._seed = None
-        out = self._env.reset()
+            out = self._env.reset()
+        elif self._seed is not None:
+            # gym>=0.26 envs dropped .seed(); the seed rides on reset().
+            seed, self._seed = self._seed, None
+            out = self._env.reset(seed=seed)
+        else:
+            out = self._env.reset()
         if isinstance(out, tuple):  # gym>=0.26 returns (obs, info)
             out = out[0]
         return np.asarray(out)

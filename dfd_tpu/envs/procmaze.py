@@ -67,6 +67,7 @@ class ProcMazeEnv(JaxEnv):
         self.start_level = int(start_level)
         if distribution_mode not in DENSITY:
             raise ValueError(f"distribution_mode must be one of {sorted(DENSITY)}")
+        self.distribution_mode = distribution_mode
         self.density = DENSITY[distribution_mode]
         self.intensity = float(intensity)
         self.obs_shape = (channels, grid * scale, grid * scale)
@@ -77,14 +78,14 @@ class ProcMazeEnv(JaxEnv):
         (utils/curriculum.py).  Level ids are globally deterministic, so a
         level seen under a narrow range replays identically under a wider
         one."""
-        return ProcMazeEnv(
+        return type(self)(
             grid=self.grid,
             scale=self.scale,
             channels=self.channels,
             max_steps=self.max_episode_steps,
             num_levels=self.num_levels if num_levels is None else num_levels,
             start_level=self.start_level if start_level is None else start_level,
-            distribution_mode=next(k for k, v in DENSITY.items() if v == self.density),
+            distribution_mode=self.distribution_mode,
             intensity=self.intensity,
         )
 

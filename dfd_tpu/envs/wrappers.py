@@ -41,22 +41,40 @@ class ActionPlaybackRecorder:
     201st step), one line is appended to ``{folder}/{opt_id}.txt``: the
     first ``episode_length`` actions, space-separated with a leading space
     — byte-identical to the reference's ``Environment.save``.  Shorter
-    episodes are silently dropped, like the reference."""
+    episodes are silently dropped, like the reference.
+
+    ``episode_length`` defaults to the wrapped env's own length when it
+    declares one (``episode_length``, or ``max_episode_steps - 1`` — the
+    trap convention where done arrives one step past the nominal length),
+    falling back to the reference trap env's 200.  Because incomplete
+    episodes are dropped silently, a mismatched length would make recording
+    a silent no-op; a one-time warning fires if nothing has been saved
+    after many resets."""
+
+    _WARN_AFTER_RESETS = 50
 
     def __init__(
         self,
         env,
         opt_id: str | None = None,
-        episode_length: int = 200,
+        episode_length: int | None = None,
         folder: str = "data/custom_novelty_playbacks/in_progress",
     ):
         import os
 
         self._env = env
         self.opt_id = opt_id if opt_id is not None else "fd_worker_{}".format(os.getpid())
-        self.episode_length = episode_length
+        if episode_length is None:
+            episode_length = getattr(env, "episode_length", None)
+        if episode_length is None:
+            declared = getattr(env, "max_episode_steps", None)
+            episode_length = declared - 1 if declared else 200
+        self.episode_length = int(episode_length)
         self.folder = folder
         self.action_record: list = []
+        self._saved = 0
+        self._resets = 0
+        self._warned = False
         for attr in ("n_actions", "obs_shape", "action_space", "observation_space"):
             if hasattr(env, attr):
                 setattr(self, attr, getattr(env, attr))
@@ -69,6 +87,23 @@ class ActionPlaybackRecorder:
         if len(self.action_record) > 0:
             self._save()
         self.action_record = []
+        self._resets += 1
+        if (
+            not self._warned
+            and self._saved == 0
+            and self._resets >= self._WARN_AFTER_RESETS
+        ):
+            self._warned = True
+            import warnings
+
+            warnings.warn(
+                f"ActionPlaybackRecorder({self.opt_id}): no complete episode "
+                f"saved after {self._resets} resets — episodes must run "
+                f"exactly episode_length+1 = {self.episode_length + 1} steps "
+                "to be recorded; pass episode_length= if the env's length "
+                "differs",
+                stacklevel=2,
+            )
         return self._env.reset()
 
     def step(self, action):
@@ -80,6 +115,7 @@ class ActionPlaybackRecorder:
         # the reference only keeps complete episodes (environment.py:64-65)
         if len(self.action_record) != self.episode_length + 1:
             return
+        self._saved += 1
         import os
 
         os.makedirs(self.folder, exist_ok=True)

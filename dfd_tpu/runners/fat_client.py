@@ -29,6 +29,7 @@ from dfd_tpu.runners.agent import Agent
 from dfd_tpu.runners.host_evaluator import BatchedHostEvaluator
 from dfd_tpu.runners.policy import HostPolicy
 from dfd_tpu.utils.factory import get_init_data
+from dfd_tpu.utils.profiling import StageTimer
 
 
 def default_vector_env(env_id: str, n_envs: int, seed: int):
@@ -62,6 +63,10 @@ class FatClientRunner:
         self._vector_env_factory = vector_env_factory or default_vector_env
         self.evaluator: Optional[BatchedHostEvaluator] = None
         self.windows = 0
+        # per-window wall-clock stages (SURVEY section 5.1's observability on
+        # the worker side): refreshed into last_stages after every submit
+        self.timer = StageTimer()
+        self.last_stages: dict = {}
 
     def run(self, max_windows: Optional[int] = None, reconnect_attempts: int = 60) -> bool:
         client = self.client
@@ -80,7 +85,9 @@ class FatClientRunner:
         while max_windows is None or self.windows < max_windows:
             self.windows += 1
             returns = self._collect_window()
-            client.submit_returns(returns)
+            with self.timer.stage("submit"):
+                client.submit_returns(returns)
+            self.last_stages = self.timer.report()
 
             status = client.get_server_state()
             if status == FDClient.NEW_STATE_FLAG:
@@ -148,6 +155,10 @@ class FatClientRunner:
         self.horizon = getattr(getattr(env_obj, "env", env_obj), "max_episode_steps", 10000)
 
     def _apply_state(self, state) -> None:
+        with self.timer.stage("apply_state"):
+            self._apply_state_inner(state)
+
+    def _apply_state_inner(self, state) -> None:
         self.policy.deserialize(state.policy_params)
         self.epoch = state.epoch
         if state.obs_stats is not None:
@@ -172,7 +183,15 @@ class FatClientRunner:
         if self.antithetic:
             offset &= ~1  # even-align so each shard holds complete +-eps pairs
         flat = self.policy.get_trainable_flat()
-        returns = self.evaluator.evaluate_population(
+        with self.timer.stage("rollout"):
+            returns = self._population_returns(flat, sub, offset)
+        if self.rng.uniform(0, 1) < self.eval_prob:
+            with self.timer.stage("eval"):
+                returns.append(self._eval_return(flat))
+        return returns
+
+    def _population_returns(self, flat, sub, offset):
+        return self.evaluator.evaluate_population(
             flat,
             self.policy.bn_state,
             epoch=self.epoch,
@@ -185,21 +204,20 @@ class FatClientRunner:
             archive=self.archive,
             archive_count=self.archive_count,
         )
-        if self.rng.uniform(0, 1) < self.eval_prob:
-            rew, ent, steps = self.eval_agent.collect_return(
-                eval_run=True, save_states=True,
-                mean=self.fixed_obs_stats.mean, std=self.fixed_obs_stats.std,
-            )
-            eval_novelty = self.evaluator.compute_novelty(
-                flat[None, :], self.policy.bn_state,
-                self.zeta, self.archive, self.archive_count,
-            )[0]
-            ret = FDReturn(
-                epoch=self.epoch, encoded_noise="0", reward=rew, entropy=ent,
-                novelty=float(eval_novelty),
-                timesteps=steps, is_eval=True,
-                eval_states=[frame_of(s) for s in self.eval_agent.saved_states],
-                obs_stats_update=self.eval_agent.obs_stats.serialize(),
-            )
-            returns.append(ret)
-        return returns
+
+    def _eval_return(self, flat):
+        rew, ent, steps = self.eval_agent.collect_return(
+            eval_run=True, save_states=True,
+            mean=self.fixed_obs_stats.mean, std=self.fixed_obs_stats.std,
+        )
+        eval_novelty = self.evaluator.compute_novelty(
+            flat[None, :], self.policy.bn_state,
+            self.zeta, self.archive, self.archive_count,
+        )[0]
+        return FDReturn(
+            epoch=self.epoch, encoded_noise="0", reward=rew, entropy=ent,
+            novelty=float(eval_novelty),
+            timesteps=steps, is_eval=True,
+            eval_states=[frame_of(s) for s in self.eval_agent.saved_states],
+            obs_stats_update=self.eval_agent.obs_stats.serialize(),
+        )

@@ -30,6 +30,7 @@ from dfd_tpu.core.welford import Welford
 from dfd_tpu.distributed.client import FDClient
 from dfd_tpu.fd import rollout as fd_rollout
 from dfd_tpu.fd.returns import FDReturn
+from dfd_tpu.utils.profiling import StageTimer
 
 
 class SliceClientRunner:
@@ -68,6 +69,10 @@ class SliceClientRunner:
         self.client = FDClient()
         self.windows = 0
         self.epoch = 0
+        # per-window wall-clock stages (SURVEY section 5.1's observability on
+        # the worker side): refreshed into last_stages after every submit
+        self.timer = StageTimer()
+        self.last_stages: dict = {}
 
     def run(self, max_windows: Optional[int] = None, reconnect_attempts: int = 60) -> bool:
         client = self.client
@@ -82,8 +87,11 @@ class SliceClientRunner:
 
         while max_windows is None or self.windows < max_windows:
             self.windows += 1
-            returns = self._collect_window()
-            client.submit_returns(returns)
+            with self.timer.stage("rollout"):
+                returns = self._collect_window()
+            with self.timer.stage("submit"):
+                client.submit_returns(returns)
+            self.last_stages = self.timer.report()
 
             status = client.get_server_state()
             if self.wait_for_new_state:
@@ -230,6 +238,10 @@ class SliceClientRunner:
         )
 
     def _apply_state(self, state) -> None:
+        with self.timer.stage("apply_state"):
+            self._apply_state_inner(state)
+
+    def _apply_state_inner(self, state) -> None:
         # the wire ships the full state_dict view (params + BN buffers)
         flat_params, bn_state = self.model.deserialize(
             np.asarray(state.policy_params, np.float32), xp=np

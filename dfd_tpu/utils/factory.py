@@ -118,9 +118,16 @@ def get_init_data(env_id: str, random_seed: int) -> Tuple[object, object, object
         raise RuntimeError(f"gymnasium not available for env {env_id!r}")
 
     if "NoFrameskip" in env_id or "ALE/" in env_id:
-        env = GymnasiumEnv(env_id, seed=random_seed)
-        shape = env.obs_shape  # expects deepmind-style (H, W, C=4) stacks
-        model = AtariCNN((shape[0], shape[1]), env.n_actions)
+        # deepmind preprocessing, as the reference composes from baselines
+        # (reference utils/init_helper.py:13-18): noop reset, max+skip-4,
+        # episodic life, fire reset, 84x84 grayscale, /255, 4-stack
+        from dfd_tpu.envs.atari_wrappers import wrap_deepmind_style
+
+        env = wrap_deepmind_style(
+            GymnasiumEnv(env_id, seed=random_seed), seed=random_seed
+        )
+        shape = env.obs_shape  # (84, 84, 4) channels-last stacks
+        model = AtariCNN((shape[0], shape[1]), env.n_actions, in_channels=shape[2])
         distance_fn = distances.categorical_tvd
     else:
         env = GymnasiumEnv(env_id, seed=random_seed)

@@ -21,8 +21,12 @@ class build_py_with_native(build_py):
         root = os.path.dirname(os.path.abspath(__file__))
         runtime = os.path.join(root, "runtime")
         lib = os.path.join(runtime, "libdfd_envpool.so")
+        # Wheels are distributable artifacts: build for a generic baseline,
+        # not the build host's ISA (-march=native can SIGILL elsewhere).
+        env = dict(os.environ)
+        env.setdefault("DFD_MARCH", "x86-64-v2")
         try:
-            subprocess.run(["sh", os.path.join(runtime, "build.sh")], check=True)
+            subprocess.run(["sh", os.path.join(runtime, "build.sh")], check=True, env=env)
         except Exception as exc:  # toolchain missing: ship without the pool
             print(f"warning: native env pool not built ({exc}); "
                   "the pure-Python vector env will be used")

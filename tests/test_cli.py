@@ -81,3 +81,21 @@ def test_cli_playback_recording(tmp_path, monkeypatch):
     rc = main(["train", "--env", "SimpleTrapEnv-v0", "--epochs", "1",
                "--batch-size", "4", "--quiet", "--playback-id", "x"])
     assert rc == 2
+
+
+def test_cli_profile_dir_emits_a_device_trace(tmp_path, capsys):
+    """--profile-dir wraps steady-state epochs in a jax.profiler trace
+    (SURVEY section 5.1's observability on the user-facing CLI)."""
+    prof = tmp_path / "trace"
+    rc = main(
+        ["train", "--env", "SimpleTrapEnv-v0", "--epochs", "3",
+         "--batch-size", "4", "--zeta-size", "8", "--history-size", "4",
+         "--quiet", "--profile-dir", str(prof), "--profile-epochs", "1"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "profile: traced 1 epoch(s)" in out
+    assert "'Epoch': 3" in out  # profiling must not eat epochs
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz or .xplane.pb
+    traced = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json*"))
+    assert traced, list(prof.rglob("*"))

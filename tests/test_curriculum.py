@@ -40,6 +40,22 @@ def test_with_levels_replays_levels_across_ranges():
     np.testing.assert_array_equal(t_n, t_w)
 
 
+def test_with_levels_preserves_subclass_and_mode():
+    """with_levels must reconstruct through type(self) and keep the stored
+    distribution_mode, so a subclass env swapped mid-curriculum does not
+    silently come back as the base class (ADVICE r2)."""
+
+    class TintedMaze(ProcMazeEnv):
+        pass
+
+    env = TintedMaze(grid=6, distribution_mode="hard", num_levels=3)
+    swapped = env.with_levels(num_levels=9)
+    assert type(swapped) is TintedMaze
+    assert swapped.distribution_mode == "hard"
+    assert swapped.density == env.density
+    assert swapped.num_levels == 9
+
+
 def test_set_env_carries_training_state_across_the_swap():
     tr = _small_trainer(num_levels=1)
     tr.train(2)

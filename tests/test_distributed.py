@@ -197,6 +197,7 @@ def test_fat_client_distributed_training():
                 break
             time.sleep(0.05)
         runner = FatClientRunner(n_envs=8, port=server.bound_port)
+        result["runner"] = runner
         result["ok"] = runner.run(max_windows=30)
 
     ct = threading.Thread(target=client_main, daemon=True)
@@ -211,6 +212,8 @@ def test_fat_client_distributed_training():
     # regenerated every member server-side
     assert server.learner.discarded_returns == 0
     ct.join(timeout=30)
+    # worker-side observability: per-window stage keys (SURVEY section 5.1)
+    assert {"_stage/rollout", "_stage/submit"} <= set(result["runner"].last_stages)
 
 
 def test_thin_client_against_counter_server():
@@ -435,6 +438,7 @@ def test_slice_client_full_duties_obs_stats_zeta_omega_novelty():
         runner = SliceClientRunner(
             n_members=6, port=server.bound_port, wait_for_new_state=True,
         )
+        result["runner"] = runner
         result["ok"] = runner.run(max_windows=40, reconnect_attempts=3)
 
     ct = threading.Thread(target=client_main, daemon=True)
@@ -461,6 +465,8 @@ def test_slice_client_full_duties_obs_stats_zeta_omega_novelty():
     assert server.policy_reward is not None
     assert server.learner.discarded_returns == 0
     ct.join(timeout=60)
+    # worker-side observability: per-window stage keys (SURVEY section 5.1)
+    assert {"_stage/rollout", "_stage/submit"} <= set(result["runner"].last_stages)
 
 
 def test_fat_client_population_obs_stats_flow():

@@ -410,3 +410,25 @@ def test_gym_adapter_handles_both_api_generations():
         obs, rew, done, _ = env.step(0)
         assert rew == want_rew
         assert done is True  # modern: truncated; legacy: done
+
+
+def test_gym_adapter_seeds_modern_envs_via_reset():
+    """gymnasium-era envs have no .seed(); the pending seed must ride on
+    reset(seed=...) exactly once instead of being silently dropped."""
+    from dfd_tpu.envs.gym_adapter import GymEnv
+
+    class _Modern:
+        def __init__(self):
+            self.seen = []
+
+        def reset(self, seed=None):
+            self.seen.append(seed)
+            return np.zeros(3, np.float32), {}
+
+    fake = _Modern()
+    env = GymEnv.__new__(GymEnv)
+    env._env = fake
+    env._seed = 123
+    env.reset()
+    env.reset()  # seed is one-shot, like legacy .seed()
+    assert fake.seen == [123, None]

@@ -128,3 +128,29 @@ def test_action_playback_recorder_reference_format(tmp_path):
         env.step(a)
     env.reset()
     assert path.read_bytes() == b" 4 2 7\n 0 8 3\n"
+
+
+def test_action_playback_recorder_derives_length_and_warns(tmp_path):
+    """episode_length defaults to the wrapped env's declared length (the
+    trap env's max_episode_steps=201 -> 200), and a mismatched length warns
+    once instead of staying a silent no-op (ADVICE r2)."""
+    import warnings
+
+    from dfd_tpu.envs.wrappers import ActionPlaybackRecorder
+    from dfd_tpu.runners.host_env import HostEnv
+
+    env = ActionPlaybackRecorder(HostEnv(TrapEnv()), opt_id="w2", folder=str(tmp_path))
+    assert env.episode_length == 200
+
+    env = ActionPlaybackRecorder(
+        HostEnv(TrapEnv()), opt_id="w3", episode_length=500, folder=str(tmp_path)
+    )
+    env._WARN_AFTER_RESETS = 3
+    env.reset()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(5):
+            env.step(0)
+            env.reset()
+    msgs = [w for w in caught if "no complete episode" in str(w.message)]
+    assert len(msgs) == 1
