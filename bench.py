@@ -32,6 +32,7 @@ if "--mesh" in sys.argv:
     )
 
 import jax
+import jax.numpy as jnp
 
 if _MESH_N is not None:
     jax.config.update("jax_platforms", "cpu")
@@ -51,20 +52,27 @@ from dfd_tpu.utils.metrics import EpochReporter
 PER_CHIP_TARGET = 1_000_000 / 8  # north-star aggregate over a v4-16
 
 
+def _sync(x) -> float:
+    """Force a host readback of a device scalar.  On the tunneled backend
+    ``jax.block_until_ready`` can acknowledge before device completion, so
+    timing must close with a value transfer the relay cannot fake."""
+    return float(jax.device_get(jnp.sum(x)))
+
+
 def bench_config(name, model, env, distance_fn, cfg, n_epochs, mesh=None):
     """Steady-state steps/s of chained jitted epochs (host out of the loop)."""
     tr = VectorizedTrainer(model, env, distance_fn, cfg, mesh=mesh,
                            reporter=EpochReporter(quiet=True))
     archive, count = tr._archive_inputs()
     state, _ = tr._step(tr.state, archive, count)  # warmup / compile
-    jax.block_until_ready(state.flat)
+    _sync(state.flat)
 
     timesteps = []
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         state, metrics = tr._step(state, archive, count)
         timesteps.append(metrics["_timesteps"])
-    jax.block_until_ready(state.flat)
+    _sync(state.flat)
     dt = time.perf_counter() - t0
     steps_total = int(sum(int(t) for t in timesteps))
     steps_per_s = steps_total / dt
@@ -182,6 +190,24 @@ def main():
         n_epochs=10,
     )
 
+    # [4b] production-width IMPALA (64/128/128 channels, hidden 512, bf16
+    # MXU contractions, 7.9M params — ~13x the parity model's conv FLOPs):
+    # the operating point where the 128x128 systolic array actually engages
+    # (docs/RESULTS.md roofline: 16/32/32 fills 12.5% of the MXU lanes).
+    # conv_impl="fused" = the pallas VMEM-resident residual-pair kernel
+    # (ops/fused_resblock.py): 1.76x the patches lowering at these widths.
+    suite["impala_prod_bf16"] = bench_config(
+        "impala_prod_bf16",
+        ImpalaPolicy(env_imp.obs_shape, env_imp.n_actions,
+                     compute_dtype=jnp.bfloat16, channels=(64, 128, 128),
+                     hidden=512, conv_impl="fused"),
+        env_imp,
+        distances.categorical_tvd,
+        TrainConfig(batch_size=64, zeta_size=8, max_strategy_history_size=4,
+                    episode_length=40, random_seed=0),
+        n_epochs=6,
+    )
+
     headline = suite["mlp_trap"]
     print(
         json.dumps(
@@ -193,6 +219,18 @@ def main():
                 "suite": {k: round(v, 1) for k, v in suite.items()},
                 "suite_vs_per_chip_target": {
                     k: round(v / PER_CHIP_TARGET, 3) for k, v in suite.items()
+                },
+                # the north star is 1M env-steps/s AGGREGATE over a v4-16
+                # (8 chips).  Population FD is embarrassingly parallel over
+                # members (returns-only cross-chip traffic, psum combine);
+                # the x8 extrapolation assumes the >=85% scaling the mesh
+                # harness (--mesh) validates functionally and
+                # tools/scaling_slice.py measures on a real slice.
+                "suite_x8_chips_extrapolated": {
+                    k: round(v * 8, 1) for k, v in suite.items()
+                },
+                "suite_x8_vs_1M_aggregate": {
+                    k: round(v * 8 / 1_000_000, 3) for k, v in suite.items()
                 },
             }
         )

@@ -34,6 +34,7 @@ import numpy as np
 
 from dfd_tpu.core.flat import FlatSpec
 from dfd_tpu.models import layers
+from dfd_tpu.ops import fused_resblock
 from dfd_tpu.models.atari import batchnorm2d_eval
 from dfd_tpu.models.base import Params, PolicyModel, State
 
@@ -155,6 +156,10 @@ CONV_IMPLS = {
     "patches": conv3x3_patches,
     "nhwc": conv3x3_nhwc,
     "split": conv3x3_split,
+    # "fused": patches for feat convs + the pallas fused residual-pair kernel
+    # (ops/fused_resblock.py) for each stage's res blocks — 2.3-2.5x on the
+    # res chain at production widths, measured (tools/probe_pallas_wide.py)
+    "fused": conv3x3_patches,
 }
 
 
@@ -328,6 +333,15 @@ class ImpalaPolicy(PolicyModel):
             x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
             x = self._conv(params[f"feat{k}_conv"], x, cd)
             x = maxpool3x3s2(x)
+            if self.conv_impl == "fused" and fused_resblock.fused_supported(
+                x.shape[2], x.shape[3]
+            ):
+                # both res blocks of the stage in one VMEM-resident kernel
+                w, b, s, t = fused_resblock.stage_weights(
+                    params, state, k, layers.BN_EPS
+                )
+                x = fused_resblock.fused_res_stage(x, w, b, s, t, compute_dtype=cd)
+                continue
             for r in (1, 2):
                 res = x
                 y = batchnorm2d_eval(params[f"res{r}_{k}_bn1"], state[f"res{r}_{k}_bn1"], x)

@@ -161,6 +161,22 @@ def test_impala_bf16_compute_close_to_f32():
     np.testing.assert_allclose(a, b, atol=0.05)
 
 
+def test_impala_fused_resblock_matches_patches():
+    """conv_impl='fused' (the pallas VMEM-resident residual-pair kernel,
+    ops/fused_resblock.py; interpret mode on CPU) must match the production
+    patches lowering to float tolerance, at reference AND production widths."""
+    for channels, hidden in (((16, 32, 32), 256), ((64, 128, 128), 512)):
+        base = ImpalaPolicy(FRAME, A, channels=channels, hidden=hidden)
+        fused = ImpalaPolicy(
+            FRAME, A, channels=channels, hidden=hidden, conv_impl="fused"
+        )
+        params, state = base.init(4)
+        frames = (np.random.RandomState(2).rand(2, *FRAME) * 255).astype(np.float32)
+        a = np.asarray(base.apply(params, state, frames))
+        b = np.asarray(fused.apply(params, state, frames))
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+
+
 def test_impala_vbn_matches_torch_full_model():
     """Full-model VBN parity: one train-mode forward over a buffer must
     update EVERY BatchNorm's running stats exactly like the reference's

@@ -1,0 +1,169 @@
+"""Decisive config-[3]/[4] learning on ProcMaze: quantified random band +
+longer-budget curriculum runs (VERDICT r2 weak #3 / next #6).
+
+The maze's shaped reward telescopes: an episode's return is
+(initial L1 distance - final L1 distance) + 10 * reached, so a policy that
+never finds the goal nets ~0 (random walk) while a competent one earns
+~E[initial distance] + 10 (grid=4: ~12).  "Decisively clear of the random
+band" therefore means an eval EMA several sigma above the measured
+random-policy return distribution.
+
+  1. ``random_band``: deterministic greedy episodes of N freshly-initialized
+     (untrained) policies across random levels -> mean/std of the return an
+     untrained agent's eval produces;
+  2. training runs (IMPALA curriculum, IMPALA flat, AtariCNN) with per-epoch
+     curves dumped to docs/curves/;
+  3. a summary line per run: best/final eval EMA vs the band.
+
+Usage: python tools/procmaze_learning.py [run ...]   (default: band + all)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfd_tpu.config import TrainConfig
+from dfd_tpu.envs.procmaze import ProcMazeEnv
+from dfd_tpu.fd import rollout as fd_rollout
+from dfd_tpu.models.atari import AtariCNN
+from dfd_tpu.models.impala import ImpalaPolicy
+from dfd_tpu.ops import distances
+from dfd_tpu.runners import VectorizedTrainer
+from dfd_tpu.utils.metrics import EpochReporter
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "docs", "curves")
+os.makedirs(OUT, exist_ok=True)
+
+ENV = dict(grid=4, scale=16, max_steps=14)
+
+
+def random_band(n_policies=64, seed=0):
+    """Eval-return distribution of untrained policies: one deterministic
+    greedy episode per freshly-initialized IMPALA policy on a random level
+    (exactly what the trainer's fused eval measures at epoch 0)."""
+    env = ProcMazeEnv(num_levels=10_000, **ENV)
+    model = ImpalaPolicy(env.obs_shape, env.n_actions)
+
+    def one(seed_key):
+        params, bn_state = model.init(int(seed_key[0]))
+        obs0 = jnp.zeros(model.input_shape, jnp.float32)
+        res = fd_rollout.episode_rollout(
+            model, env, jax.tree.map(jnp.asarray, params), bn_state,
+            jax.random.key(int(seed_key[1])), env.max_episode_steps,
+            deterministic=jnp.asarray(True),
+            obs_mean=obs0, obs_std=obs0 + 1.0,
+            normalize_obs=False, obs_stats_update_chance=0.0,
+            collect_states=False,
+        )
+        return float(res.reward)
+
+    rng = np.random.RandomState(seed)
+    rewards = [one(rng.randint(0, 2**31, size=2)) for _ in range(n_policies)]
+    rewards = np.asarray(rewards)
+    band = {
+        "n": n_policies,
+        "mean": round(float(rewards.mean()), 3),
+        "std": round(float(rewards.std()), 3),
+        "max": round(float(rewards.max()), 3),
+    }
+    with open(os.path.join(OUT, "procmaze_random_band.json"), "w") as f:
+        json.dump(band, f)
+    print(json.dumps({"run": "random_band", **band}), flush=True)
+    return band
+
+
+RUNS = {
+    # longer-budget curriculum: 1 -> 5 -> 50 -> 200 levels, bigger population
+    "procmaze_impala_decisive": dict(
+        env=lambda: ProcMazeEnv(num_levels=1, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions),
+        cfg=dict(batch_size=128, learning_rate=0.1, noise_std=0.1,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(20, 1), (20, 5), (50, 50), (90, 200)],
+    ),
+    # ES-style plain-SGD variant (the optimizer that made CartPole/Pendulum/
+    # swimmer decisive)
+    "procmaze_impala_decisive_sgd": dict(
+        env=lambda: ProcMazeEnv(num_levels=1, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions),
+        cfg=dict(batch_size=128, learning_rate=0.5, noise_std=0.1,
+                 optimizer="sgd", zeta_size=8, max_strategy_history_size=8,
+                 random_seed=0, episode_length=ENV["max_steps"]),
+        phases=[(20, 1), (20, 5), (50, 50), (90, 200)],
+    ),
+    # the CNN family on the SAME procgen-shaped env (config [3] demonstration)
+    "procmaze_atari_cnn": dict(
+        env=lambda: ProcMazeEnv(num_levels=1, **ENV),
+        model=lambda env: AtariCNN(
+            (env.obs_shape[1], env.obs_shape[2]), env.n_actions,
+            in_channels=env.obs_shape[0]),
+        cfg=dict(batch_size=128, learning_rate=0.1, noise_std=0.1,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(20, 1), (20, 5), (50, 50), (90, 200)],
+    ),
+    # flat full-distribution control at the same budget
+    "procmaze_impala_flat_long": dict(
+        env=lambda: ProcMazeEnv(num_levels=200, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions),
+        cfg=dict(batch_size=128, learning_rate=0.1, noise_std=0.1,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(180, 200)],
+    ),
+}
+
+
+def run_one(name, spec):
+    from dfd_tpu.utils.curriculum import train_level_curriculum
+
+    env = spec["env"]()
+    model = spec["model"](env)
+    rep = EpochReporter(quiet=True)
+    tr = VectorizedTrainer(model, env, distances.categorical_tvd,
+                           TrainConfig(**spec["cfg"]), reporter=rep)
+    t0 = time.time()
+    train_level_curriculum(tr, spec["phases"], sync_every=10)
+    wall = time.time() - t0
+    rep.dump_jsonl(os.path.join(OUT, f"{name}.jsonl"))
+    h = rep.history
+    evals = [r["Policy Reward"] for r in h]
+    out = {
+        "run": name,
+        "wall_s": round(wall, 1),
+        "epochs": len(h),
+        "steps": h[-1]["Cumulative Timesteps"],
+        "first_noisy": round(h[0]["Noisy Reward"], 2),
+        "last_noisy": round(h[-1]["Noisy Reward"], 2),
+        "best_eval_ema": round(max(evals), 2),
+        "final_eval_ema": round(float(np.mean(evals[-10:])), 2),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    names = sys.argv[1:] or ["band"] + list(RUNS)
+    band = None
+    for name in names:
+        if name == "band":
+            band = random_band()
+        else:
+            run_one(name, RUNS[name])
+    if band is not None:
+        print(json.dumps({
+            "note": "decisive = final_eval_ema > band mean + 3*std",
+            "threshold": round(band["mean"] + 3 * band["std"], 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
