@@ -83,6 +83,36 @@ def test_cli_playback_recording(tmp_path, monkeypatch):
     assert rc == 2
 
 
+def test_cli_client_modes_run_against_a_server():
+    """`client --mode fat/slice` must wire the full elastic worker from the
+    CLI (round-3 surface: fat/slice were library-only before)."""
+    import threading
+    import time
+
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0", batch_size=4, zeta_size=4,
+        max_strategy_history_size=4, random_seed=5, port=0,
+        noise_kind="counter", reporter=EpochReporter(quiet=True),
+        timestep_limit=10_000_000,
+    )
+    st = threading.Thread(target=lambda: server.train(max_epochs=2), daemon=True)
+    st.start()
+    for _ in range(200):
+        if getattr(server, "bound_port", None):
+            break
+        time.sleep(0.05)
+
+    rc = main(["client", "--mode", "slice", "--port", str(server.bound_port),
+               "--n-envs", "4", "--max-windows", "8"])
+    assert rc == 0
+    st.join(timeout=120)
+    assert not st.is_alive()
+    assert len(server.reporter.history) >= 1
+
+
 def test_cli_profile_dir_emits_a_device_trace(tmp_path, capsys):
     """--profile-dir wraps steady-state epochs in a jax.profiler trace
     (SURVEY section 5.1's observability on the user-facing CLI)."""
