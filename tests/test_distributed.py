@@ -397,6 +397,53 @@ def test_slice_client_distributed_training_with_staleness():
     ct.join(timeout=60)
 
 
+def test_two_slice_clients_scale_out_elastically():
+    """Elastic scale-out of the flagship topology: TWO device slices join the
+    same counter-noise server.  Per-client seed minting (reference
+    server.py:144-149's GetConfig seed++) must give the shards disjoint
+    member-id streams — every return decodable, none discarded, and the
+    learner consumes work from both."""
+    from dfd_tpu.runners.slice_client import SliceClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="SimpleTrapEnv-v0", batch_size=8, zeta_size=4,
+        max_strategy_history_size=4, random_seed=47, port=0,
+        noise_kind="counter", reporter=reporter, timestep_limit=10_000_000,
+    )
+
+    runners, results = {}, {}
+
+    def client_main(tag):
+        for _ in range(200):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        runner = SliceClientRunner(n_members=4, port=server.bound_port)
+        runners[tag] = runner
+        results[tag] = runner.run(max_windows=30, reconnect_attempts=3)
+
+    threads = [threading.Thread(target=client_main, args=(t,), daemon=True)
+               for t in ("a", "b")]
+    st = threading.Thread(target=lambda: server.train(max_epochs=4), daemon=True)
+    st.start()
+    for t in threads:
+        t.start()
+    st.join(timeout=300)
+    assert not st.is_alive(), "server loop did not finish"
+    for t in threads:
+        t.join(timeout=60)
+
+    assert len(reporter.history) >= 2
+    assert server.learner.discarded_returns == 0
+    # both shards drew distinct per-client seeds -> disjoint member offsets
+    seeds = {runners["a"]._seed, runners["b"]._seed}
+    assert len(seeds) == 2, seeds
+    assert runners["a"].windows >= 2 and runners["b"].windows >= 2
+
+
 def test_slice_client_full_duties_obs_stats_zeta_omega_novelty():
     """A slice-ONLY deployment must not silently lose reference capabilities
     (round-2 verdict): population Welford deltas advance the server's global

@@ -193,6 +193,50 @@ RUNS = {
                  episode_length=ENV["max_steps"]),
         phases=[(40, 1), (40, 5), (60, 50), (100, 200)],
     ),
+    # train directly on the full distribution at scale (curricula transfer
+    # poorly here: narrow phases produce layout memorizers)
+    "procmaze_impala_flat_scale": dict(
+        env=lambda: ProcMazeEnv(num_levels=200, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions,
+                                       use_lstm=False),
+        cfg=dict(batch_size=256, learning_rate=0.02, noise_std=0.1,
+                 envs_per_perturbation=4,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(400, 200)],
+    ),
+    # per-level tints scale the raw pixels; running obs normalization
+    # removes the scale cue a layout-memorizer keys on
+    "procmaze_impala_flat_norm": dict(
+        env=lambda: ProcMazeEnv(num_levels=200, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions,
+                                       use_lstm=False),
+        cfg=dict(batch_size=256, learning_rate=0.02, noise_std=0.1,
+                 envs_per_perturbation=4, normalize_obs=True,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(400, 200)],
+    ),
+    # from-scratch FIXED procedural distributions (no curriculum: narrow
+    # warm-starts produce layout memorizers that transfer poorly)
+    "procmaze_impala_L5": dict(
+        env=lambda: ProcMazeEnv(num_levels=5, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions),
+        cfg=dict(batch_size=64, learning_rate=0.03, noise_std=0.1,
+                 envs_per_perturbation=8,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(150, 5)],
+    ),
+    "procmaze_impala_L20": dict(
+        env=lambda: ProcMazeEnv(num_levels=20, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions),
+        cfg=dict(batch_size=64, learning_rate=0.03, noise_std=0.1,
+                 envs_per_perturbation=8,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(250, 20)],
+    ),
 }
 
 
