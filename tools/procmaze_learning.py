@@ -237,6 +237,18 @@ RUNS = {
                  episode_length=ENV["max_steps"]),
         phases=[(250, 20)],
     ),
+    # pod-scale population simulated on one chip: P=1024 x E=4 = 4096
+    # episodes per update on the full 200-level distribution
+    "procmaze_impala_P1024": dict(
+        env=lambda: ProcMazeEnv(num_levels=200, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions,
+                                       use_lstm=False),
+        cfg=dict(batch_size=1024, learning_rate=0.02, noise_std=0.1,
+                 envs_per_perturbation=4,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(300, 200)],
+    ),
 }
 
 
@@ -268,8 +280,17 @@ def run_one(name, spec):
     return out
 
 
+# the no-arg default: the band + the runs RESULTS.md headlines.  The
+# exploratory/expensive configs (P=1024, flat-200 sweeps) run only when
+# named explicitly, so a reproduction pass neither balloons to hours nor
+# overwrites every committed docs/curves artifact.
+DEFAULT_RUNS = [
+    "procmaze_impala_long", "procmaze_impala_L5", "procmaze_impala_L20",
+]
+
+
 def main():
-    names = sys.argv[1:] or ["band"] + list(RUNS)
+    names = sys.argv[1:] or ["band"] + DEFAULT_RUNS
     band = None
     for name in names:
         if name == "band":
