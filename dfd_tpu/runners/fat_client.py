@@ -73,8 +73,15 @@ class FatClientRunner:
         client.connect(address=self.address, port=self.port)
 
         status = client.get_server_state()
+        failures = 0
         while status != FDClient.NEW_EXPERIMENT_FLAG:
+            # bounded like the reference's reconnect loop (run_client.py:60-78):
+            # a dead server must terminate the worker, not spin it forever
             if status == FDClient.RPC_FAILED_FLAG:
+                failures += 1
+                if failures > reconnect_attempts:
+                    client.disconnect()
+                    return False
                 time.sleep(1)
             else:
                 time.sleep(0.2)

@@ -79,8 +79,18 @@ class SliceClientRunner:
         client.connect(address=self.address, port=self.port)
 
         status = client.get_server_state()
+        failures = 0
         while status != FDClient.NEW_EXPERIMENT_FLAG:
-            time.sleep(1 if status == FDClient.RPC_FAILED_FLAG else 0.2)
+            # bounded like the reference's reconnect loop (run_client.py:60-78):
+            # a dead server must terminate the worker, not spin it forever
+            if status == FDClient.RPC_FAILED_FLAG:
+                failures += 1
+                if failures > reconnect_attempts:
+                    client.disconnect()
+                    return False
+                time.sleep(1)
+            else:
+                time.sleep(0.2)
             status = client.get_server_state()
         self._configure(client.current_state.cfg)
         self._apply_state(client.current_state)
