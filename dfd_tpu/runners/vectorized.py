@@ -273,6 +273,23 @@ class VectorizedTrainer:
                 collect_limit=collect_limit,
             )
 
+        def member_rollout(params, key):
+            """One member's fitness: a single episode, or the mean over
+            E level-resampled episodes (the level-luck variance fix)."""
+            if E == 1:
+                return one_episode(params, key)
+            eps_results = jax.vmap(lambda k: one_episode(params, k))(
+                jax.random.split(key, E)
+            )
+            stats = welford.jnp_merge_population(eps_results.obs_stats)
+            return fd_rollout.RolloutResult(
+                reward=eps_results.reward.mean(),
+                entropy=eps_results.entropy.mean(),
+                steps=eps_results.steps.sum(),
+                obs_stats=stats,
+                states=None,
+            )
+
         chunked = bool(cfg.population_chunk) and cfg.population_chunk < P
         # The deterministic eval episode rides the population vmap as member
         # P (zero noise): a separate batch-1 eval scan costs the same wall
@@ -294,7 +311,6 @@ class VectorizedTrainer:
             # Combine later regenerates noise chunk-by-chunk the same way.
             C = cfg.population_chunk
             assert P % C == 0, "population_chunk must divide batch_size"
-            assert E == 1, "population_chunk requires envs_per_perturbation=1"
             assert cfg.noise_backend != "pallas", "pallas backend is already memory-bounded"
 
             ids_c = member_ids.reshape(P // C, C)
@@ -305,7 +321,7 @@ class VectorizedTrainer:
                 eps_c = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(ids)
                 flats_c = state.flat[None, :] + cfg.noise_std * eps_c
                 params_c = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(flats_c)
-                res = jax.vmap(one_episode)(params_c, ks)
+                res = jax.vmap(member_rollout)(params_c, ks)
                 nov = self._batch_novelty(params_c, state, archive, archive_count)
                 return res, nov
 
@@ -358,22 +374,7 @@ class VectorizedTrainer:
             # 2. population rollout (E episodes per member, averaged)
             if fused_eval:
                 pass  # rolled out above, fused with the eval member
-            elif E == 1:
-                result = jax.vmap(one_episode)(pop_params, roll_keys)
             else:
-                def member_rollout(params, key):
-                    eps_results = jax.vmap(lambda k: one_episode(params, k))(
-                        jax.random.split(key, E)
-                    )
-                    stats = welford.jnp_merge_population(eps_results.obs_stats)
-                    return fd_rollout.RolloutResult(
-                        reward=eps_results.reward.mean(),
-                        entropy=eps_results.entropy.mean(),
-                        steps=eps_results.steps.sum(),
-                        obs_stats=stats,
-                        states=None,
-                    )
-
                 result = jax.vmap(member_rollout)(pop_params, roll_keys)
 
             # 3. novelty of each perturbed policy vs the archive (the fused

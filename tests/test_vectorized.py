@@ -223,6 +223,22 @@ def test_population_chunking_matches_dense():
     np.testing.assert_allclose(n1, n2, rtol=1e-4, atol=1e-6)
 
 
+def test_population_chunking_matches_dense_with_env_averaging():
+    """population_chunk composes with envs_per_perturbation (round 3: the
+    production-width HBM boundary made chunked + E-averaged fitness the
+    missing memory escape) — chunked E>1 training equals dense E>1."""
+    dense = _trainer(P=8, envs_per_perturbation=2)
+    chunked = _trainer(P=8, envs_per_perturbation=2, population_chunk=4)
+    dense.train(3)
+    chunked.train(3)
+    np.testing.assert_allclose(
+        np.asarray(chunked.state.flat), np.asarray(dense.state.flat), rtol=1e-5, atol=1e-6
+    )
+    r1 = [r["Noisy Reward"] for r in dense.reporter.history]
+    r2 = [r["Noisy Reward"] for r in chunked.reporter.history]
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+
+
 def test_eval_every_skips_eval_work():
     """With eval_every>1 non-eval epochs run no eval episode (timesteps drop
     by the eval horizon) and EMAs/zeta only move on eval epochs."""
