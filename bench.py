@@ -151,6 +151,22 @@ def main():
         n_epochs=30,
     )
 
+    # [0b] same family at the peak pipeline operating point: E=8 episodes
+    # averaged per member multiplies frames-per-dispatch on the latency-bound
+    # small-model path (measured sweep: E=1/2/4/8/16 -> 25/40/55/70/78M;
+    # knee at E=8).  Fitness semantics: level-luck-averaged (the reference's
+    # single-episode fitness is the E=1 headline row above).
+    suite["mlp_trap_e8"] = bench_config(
+        "mlp_trap_e8",
+        DiscreteMLP(2, 9),
+        TrapEnv(),
+        distances.categorical_tvd,
+        TrainConfig(batch_size=2048, learning_rate=0.05, noise_std=0.05,
+                    zeta_size=64, max_strategy_history_size=16, random_seed=0,
+                    scan_unroll=8, envs_per_perturbation=8),
+        n_epochs=12,
+    )
+
     # [2] Gaussian MLP on the JAX-native swimmer (16-obs/6-action locomotion)
     # P=512 is the measured single-chip sweet spot (round-2 sweep: 1.29M/1.50M/
     # 1.50M/1.46M steps/s at P=256/512/1024/2048).

@@ -31,6 +31,15 @@ class TrainConfig:
     noise_std: float = 0.02
     batch_size: int = 40                 # perturbations per update (population)
     envs_per_perturbation: int = 1       # episodes averaged per member
+    # E>1 lowering for the unchunked path: "flat" collapses (member, episode)
+    # into one (P*E)-wide population vmap (batches env dynamics better —
+    # 1.8x on the swimmer's physics); "nested" keeps vmap(P)∘vmap(E)
+    # (memory-lean, and gives each member's forward an M=E GEMM dimension —
+    # 3.6x on the tiny trap MLP).  The ranking is workload-dependent, so
+    # "auto" compiles both at trainer init and keeps the measured winner
+    # (bit-identical results either way; deterministic fallbacks under
+    # multi-process SPMD or >1 GiB of replicated parameters).
+    e_lowering: str = "auto"
     # mirrored perturbation pairs theta +- sigma*eps (members 2k/2k+1 share
     # eps_k with opposite signs) — variance-reduced vs the reference's
     # one-sided theta + sigma*eps (reference worker/worker.py:26-30);

@@ -239,6 +239,31 @@ def test_population_chunking_matches_dense_with_env_averaging():
     np.testing.assert_allclose(r1, r2, rtol=1e-6)
 
 
+def test_flat_e_lowering_matches_nested():
+    """The flat (member*episode) E-lowering must train identically to the
+    nested vmap(P)∘vmap(E) form — same episode keys, same reductions; only
+    the batching structure differs (round 3: flat measured 2.7x faster)."""
+    flat = _trainer(P=8, envs_per_perturbation=2, e_lowering="flat",
+                    normalize_obs=True)
+    nested = _trainer(P=8, envs_per_perturbation=2, e_lowering="nested",
+                      normalize_obs=True)
+    flat.train(3)
+    nested.train(3)
+    np.testing.assert_allclose(
+        np.asarray(flat.state.flat), np.asarray(nested.state.flat),
+        rtol=1e-5, atol=1e-6,
+    )
+    for key in ("Noisy Reward", "Policy Reward", "Noisy Novelty"):
+        a = [r[key] for r in flat.reporter.history]
+        b = [r[key] for r in nested.reporter.history]
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(flat.state.obs_stats.mean),
+        np.asarray(nested.state.obs_stats.mean), rtol=1e-5, atol=1e-7,
+    )
+    assert flat.cumulative_timesteps == nested.cumulative_timesteps
+
+
 def test_eval_every_skips_eval_work():
     """With eval_every>1 non-eval epochs run no eval episode (timesteps drop
     by the eval horizon) and EMAs/zeta only move on eval epochs."""
