@@ -1,5 +1,6 @@
 from dfd_tpu.envs.base import JaxEnv
 from dfd_tpu.envs.cartpole import CartPoleEnv
+from dfd_tpu.envs.framestack import FrameStackEnv, PadChannelsEnv
 from dfd_tpu.envs.pendulum import PendulumEnv
 from dfd_tpu.envs.pixelgrid import PixelGridEnv
 from dfd_tpu.envs.procmaze import ProcMazeEnv
@@ -10,6 +11,8 @@ __all__ = [
     "JaxEnv",
     "TrapEnv",
     "CartPoleEnv",
+    "FrameStackEnv",
+    "PadChannelsEnv",
     "PendulumEnv",
     "PixelGridEnv",
     "ProcMazeEnv",

@@ -249,6 +249,20 @@ RUNS = {
                  episode_length=ENV["max_steps"]),
         phases=[(300, 200)],
     ),
+    # the next dose point the P1024 dose-response predicts clears the band:
+    # P=4096 x E=4 = 16384 episodes/update, identical lr/sigma/E (a clean 4x
+    # population control), fit onto the one chip via population_chunk — the
+    # round-3 chunk+E composition is exactly what makes this run possible
+    "procmaze_impala_P4096": dict(
+        env=lambda: ProcMazeEnv(num_levels=200, **ENV),
+        model=lambda env: ImpalaPolicy(env.obs_shape, env.n_actions,
+                                       use_lstm=False),
+        cfg=dict(batch_size=4096, learning_rate=0.02, noise_std=0.1,
+                 envs_per_perturbation=4, population_chunk=1024,
+                 zeta_size=8, max_strategy_history_size=8, random_seed=0,
+                 episode_length=ENV["max_steps"]),
+        phases=[(320, 200)],
+    ),
 }
 
 
@@ -257,13 +271,17 @@ def run_one(name, spec):
 
     env = spec["env"]()
     model = spec["model"](env)
-    rep = EpochReporter(quiet=True)
+    # incremental curve sink: hours-long runs must not lose their history to
+    # a late crash — each epoch row is appended to the jsonl as it lands
+    path = os.path.join(OUT, f"{name}.jsonl")
+    sink_f = open(path, "w", buffering=1)
+    rep = EpochReporter(quiet=True, sink=lambda row: sink_f.write(json.dumps(row) + "\n"))
     tr = VectorizedTrainer(model, env, distances.categorical_tvd,
                            TrainConfig(**spec["cfg"]), reporter=rep)
     t0 = time.time()
     train_level_curriculum(tr, spec["phases"], sync_every=10)
     wall = time.time() - t0
-    rep.dump_jsonl(os.path.join(OUT, f"{name}.jsonl"))
+    sink_f.close()
     h = rep.history
     evals = [r["Policy Reward"] for r in h]
     out = {

@@ -47,6 +47,21 @@ FAMILIES = {
                      lr=0.05, sigma=0.05, zeta=32, history=16, eval_prob=0.1),
     "pendulum": dict(obs=3, act=1, discrete=False, epochs=60, batch=16,
                      lr=0.02, sigma=0.05, zeta=32, history=16, eval_prob=0.1),
+    # pixel families (round 4): the reference's torch AtariPolicy
+    # (policies/atari.py:7-51) and ImpalaPolicy (policies/impala.py:8-186)
+    # through the identical run_sequential.py loop.  Both train on 1-level
+    # ProcMaze — the procgen branch's env family (init_helper.py:9-12) and
+    # the env where this config DEMONSTRABLY LEARNS (probe: rebuild eval
+    # EMA ~11.7 of ~12.5 optimal in 40 epochs — the band measures matched
+    # learning, not a matched stall).  AtariPolicy hardcodes 4 stacked
+    # input channels and an 84x84 Linear(2592) (atari.py:10,45), so its
+    # env renders at scale 21 (84px) with the channel axis zero-padded
+    # 3->4 (an unused stacked-frame slot).  IMPALA runs with its LSTM, as
+    # the reference _build_model hardcodes (impala.py:33).
+    "atari": dict(kind="atari", act=5, discrete=True, epochs=40, batch=32,
+                  lr=0.03, sigma=0.1, zeta=8, history=8, eval_prob=0.1),
+    "impala": dict(kind="impala", act=5, discrete=True, epochs=40, batch=32,
+                   lr=0.03, sigma=0.1, zeta=8, history=8, eval_prob=0.1),
 }
 
 TAIL = 0.25  # summary window: last 25% of epochs
@@ -59,9 +74,68 @@ def make_host_env(name, seed):
 
 
 def make_jax_env(name):
-    from dfd_tpu.envs import CartPoleEnv, PendulumEnv, TrapEnv
+    from dfd_tpu.envs import (
+        CartPoleEnv, PadChannelsEnv, PendulumEnv, ProcMazeEnv, TrapEnv,
+    )
 
+    if name == "atari":
+        # 4x21 = 84px ProcMaze, channel axis zero-padded 3 -> 4: the
+        # (4, 84, 84) pre-scaled 0-1 input AtariPolicy hardcodes
+        return PadChannelsEnv(
+            ProcMazeEnv(num_levels=1, grid=4, scale=21, max_steps=14, intensity=1.0),
+            to_channels=4,
+        )
+    if name == "impala":
+        return ProcMazeEnv(num_levels=1, grid=4, scale=16, max_steps=14)
     return {"trap": TrapEnv, "cartpole": CartPoleEnv, "pendulum": PendulumEnv}[name]()
+
+
+def _ref_atari_policy_cls(ref):
+    """Reference AtariPolicy with its latent obs-marshalling bug fixed.
+
+    ``Policy.forward`` reshapes non-tensor input with
+    ``view(-1, self.input_shape)`` (policy.py:26-28) — valid only when
+    input_shape is an int, but AtariPolicy sets it to a TUPLE
+    (atari.py:10-11), so any numpy observation (what Agent passes,
+    agent.py:43) raises TypeError.  The subclass unpacks the tuple —
+    ``view(-1, *input_shape)`` — changing nothing about the model, init, or
+    math; every weight and forward op is the reference's own."""
+    import torch
+
+    class _RefAtariPolicy(ref.AtariPolicy):
+        def forward(self, x):
+            if type(x) is not torch.Tensor:
+                x = torch.as_tensor(np.asarray(x), dtype=torch.float32)
+            return self.model(x.view((-1,) + tuple(self.input_shape)))
+
+    return _RefAtariPolicy
+
+
+class _RefImpalaEnv:
+    """The reference ImpalaEnvWrapper's obs format
+    (utils/impala_env_wrapper.py:13-28) over a host env: dict observations
+    of torch tensors — frame (1, 1, C, H, W) float32, previous transition's
+    reward/done as (1, 1) tensors."""
+
+    def __init__(self, host_env):
+        self._env = host_env
+
+    def reset(self):
+        return self._format(self._env.reset(), 0, False)
+
+    def step(self, action):
+        obs, rew, done, etc = self._env.step(action)
+        return self._format(obs, rew, done), rew, done, etc
+
+    def _format(self, obs, rew, done):
+        import torch
+
+        obs = np.asarray(obs)
+        return {
+            "frame": torch.as_tensor(obs, dtype=torch.float32).view(1, 1, *obs.shape),
+            "reward": torch.as_tensor(rew, dtype=torch.float32).view(1, 1),
+            "done": torch.as_tensor(1 if done else 0, dtype=torch.bool).view(1, 1),
+        }
 
 
 class ReferenceLoop:
@@ -78,13 +152,24 @@ class ReferenceLoop:
         ref = load_reference()
         torch.manual_seed(seed)
         self.spec = spec
-        if spec["discrete"]:
+        kind = spec.get("kind", "mlp")
+        if kind == "atari":
+            cls = _ref_atari_policy_cls(ref)
+            self.policy = cls((84, 84), spec["act"], seed=seed)
+            distance_fn = ref.math_helpers.categorical_tvd
+            self.env = make_host_env(name, seed)
+        elif kind == "impala":
+            self.policy = ref.ImpalaPolicy((64, 64, 3), spec["act"], seed=seed)
+            distance_fn = ref.math_helpers.categorical_tvd
+            self.env = _RefImpalaEnv(make_host_env(name, seed))
+        elif spec["discrete"]:
             self.policy = ref.DiscretePolicy(spec["obs"], spec["act"], seed=seed)
             distance_fn = ref.math_helpers.categorical_tvd
+            self.env = make_host_env(name, seed)
         else:
             self.policy = ref.MujocoPolicy(spec["obs"], spec["act"], seed=seed)
             distance_fn = ref.math_helpers.gaussian_wasserstein_dist_from_strategies
-        self.env = make_host_env(name, seed)
+            self.env = make_host_env(name, seed)
         self.rng = np.random.RandomState(seed)
         self.buffer_rng = np.random.RandomState(seed)
 
@@ -127,6 +212,13 @@ class ReferenceLoop:
             obs, _, done, _ = self.env.step(self._random_action())
             if done:
                 obs = self.env.reset()
+        if isinstance(zeta[0], dict):
+            # IMPALA's dict observations: zeta is an object array so shuffle/
+            # slot-replacement semantics match the ndarray path
+            arr = np.empty(n, dtype=object)
+            for i, o in enumerate(zeta):
+                arr[i] = o
+            return arr
         return np.asarray(zeta, np.float32)
 
     def train(self, n_epochs):
@@ -146,7 +238,11 @@ class ReferenceLoop:
                         self.policy_novelty = self.policy_novelty * 0.9 + ret.novelty * 0.1
                         self.rng.shuffle(idxs)
                         k = min(len(ret.eval_states), len(zeta))
-                        zeta[idxs[:k]] = np.asarray(ret.eval_states, np.float32)[: len(zeta)][:k]
+                        if zeta.dtype == object:  # dict obs (IMPALA)
+                            for j in range(k):
+                                zeta[idxs[j]] = ret.eval_states[j]
+                        else:
+                            zeta[idxs[:k]] = np.asarray(ret.eval_states, np.float32)[: len(zeta)][:k]
                     else:
                         rets.append(ret)
                         ret_rewards.append(ret.reward)
@@ -177,12 +273,21 @@ def run_reference(name, spec, seed):
 def run_rebuild(name, spec, seed):
     from dfd_tpu.config import TrainConfig
     from dfd_tpu.models import DiscreteMLP, GaussianMLP
+    from dfd_tpu.models.atari import AtariCNN
+    from dfd_tpu.models.impala import ImpalaPolicy
     from dfd_tpu.ops import distances
     from dfd_tpu.runners import VectorizedTrainer
     from dfd_tpu.utils.metrics import EpochReporter
 
     env = make_jax_env(name)
-    if spec["discrete"]:
+    kind = spec.get("kind", "mlp")
+    if kind == "atari":
+        model = AtariCNN((84, 84), spec["act"], in_channels=4)
+        distance_fn = distances.categorical_tvd
+    elif kind == "impala":
+        model = ImpalaPolicy(env.obs_shape, spec["act"], use_lstm=True)
+        distance_fn = distances.categorical_tvd
+    elif spec["discrete"]:
         model = DiscreteMLP(spec["obs"], spec["act"])
         distance_fn = distances.categorical_tvd
     else:
