@@ -180,7 +180,8 @@ def cmd_client(args) -> int:
 
             mesh = make_pop_mesh()
         ok = SliceClientRunner(
-            n_members=args.n_envs, address=args.address, port=args.port, mesh=mesh
+            n_members=args.n_envs, address=args.address, port=args.port, mesh=mesh,
+            population_chunk=args.population_chunk,
         ).run(max_windows=args.max_windows)
     else:
         from dfd_tpu.runners.client import ClientRunner
@@ -309,6 +310,9 @@ def main(argv=None) -> int:
                    help="stop after N collection windows (default: run forever)")
     p.add_argument("--mesh", action="store_true",
                    help="slice mode: shard members over all local devices")
+    p.add_argument("--population-chunk", type=int, default=None,
+                   help="slice mode: evaluate the shard in memory-bounded "
+                        "chunks of this many members (production-width models)")
     p.set_defaults(fn=cmd_client)
 
     p = sub.add_parser("sweep", help="random hyperparameter search")

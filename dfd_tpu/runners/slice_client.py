@@ -44,6 +44,7 @@ class SliceClientRunner:
         mesh_axis: str = "pop",
         wait_for_new_state: bool = False,
         state_wait_timeout: float = 60.0,
+        population_chunk: Optional[int] = None,
     ):
         """``apply_state_every``: apply NEW_STATE broadcasts only every k-th
         window — k>1 deliberately lags the shard's epoch tag behind the
@@ -58,7 +59,17 @@ class SliceClientRunner:
         re-evaluating parameters it has already covered.
 
         ``mesh``: optional device mesh; the population shard is sharded over
-        its ``mesh_axis`` so one slice-client spans all local chips."""
+        its ``mesh_axis`` so one slice-client spans all local chips.
+
+        ``population_chunk``: evaluate the shard in memory-bounded chunks of
+        this many members (the vectorized trainer's big-model escape hatch,
+        runners/vectorized.py) — only ~chunk x d perturbed parameters are
+        ever live, so a slice shard can run production-width pixel models
+        that would OOM densely.  Must divide ``n_members``."""
+        if population_chunk is not None and population_chunk > 0:
+            if n_members % population_chunk != 0:
+                raise ValueError("population_chunk must divide n_members")
+        self.population_chunk = population_chunk
         self.n_members = n_members
         self.address, self.port = address, port
         self.apply_state_every = max(int(apply_state_every), 1)
@@ -176,23 +187,16 @@ class SliceClientRunner:
         n_eval = 1 if self.mesh is None else int(self.mesh.shape[self.mesh_axis])
         self.n_eval = n_eval
 
+        chunk = self.population_chunk
+        chunked = bool(chunk) and chunk < P
+
         def eval_shard(flat, epoch, member_ids, bn_state, key, obs_mean, obs_std,
                        zeta, archive, archive_count):
             Z = zeta.shape[0]
-            eps = jax.vmap(lambda i: noise.generate(epoch, i))(member_ids)
-            pop_flats = flat[None, :] + sigma * eps
-            all_flats = self._shard(
-                jnp.concatenate([pop_flats, jnp.tile(flat[None, :], (n_eval, 1))])
-            )
             pop_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(member_ids)
             eval_key = jax.random.fold_in(key, jnp.uint32(0xE7A1))
-            # every eval slot carries eval_key itself: slot P's episode is
-            # identical with or without a mesh
-            all_keys = jnp.concatenate([pop_keys, jnp.repeat(eval_key[None], n_eval, axis=0)])
-            det = jnp.zeros((P + n_eval,), bool).at[P:].set(True)
-            all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
 
-            def one(params, k, d):
+            def one(params, k, d, limit):
                 return fd_rollout.episode_rollout(
                     model, env, params, bn_state, k, horizon,
                     deterministic=d,
@@ -200,40 +204,97 @@ class SliceClientRunner:
                     normalize_obs=normalize_obs,
                     obs_stats_update_chance=chance,
                     collect_states=False,
-                    collect_limit=Z,
+                    collect_limit=limit,
                 )
-
-            res = jax.vmap(one)(all_params, all_keys, det)
 
             # novelty vs the broadcast archive (guard: <2 entries -> 0,
             # forwards skipped — reference strategy_handler.py:25-31)
-            def compute_nov(_):
-                def nov_one(params):
-                    strat = model.strategy(params, bn_state, zeta)
-                    dists = distance_fn(strat, archive, xp=jnp)
-                    idx = jnp.arange(archive.shape[0])
-                    return jnp.min(jnp.where(idx < archive_count, dists, jnp.inf))
+            def novelty_of(all_params, n):
+                def compute_nov(_):
+                    def nov_one(params):
+                        strat = model.strategy(params, bn_state, zeta)
+                        dists = distance_fn(strat, archive, xp=jnp)
+                        idx = jnp.arange(archive.shape[0])
+                        return jnp.min(jnp.where(idx < archive_count, dists, jnp.inf))
 
-                return jax.vmap(nov_one)(all_params)
+                    return jax.vmap(nov_one)(all_params)
 
-            novelty = jax.lax.cond(
-                archive_count >= 2,
-                compute_nov,
-                lambda _: jnp.zeros((P + n_eval,), jnp.float32),
-                None,
-            )
+                return jax.lax.cond(
+                    archive_count >= 2, compute_nov,
+                    lambda _: jnp.zeros((n,), jnp.float32), None,
+                )
 
-            # one merged Welford delta per window: population members plus
-            # ONE eval member (replicated eval slots would double-count)
-            merged_stats = welford.jnp_merge_population(
-                jax.tree.map(lambda x: x[: P + 1], res.obs_stats)
-            )
+            def members_plus_eval(ids, ks, n_pop):
+                """n_pop perturbed members + n_eval zero-noise deterministic
+                eval slots at the tail (every eval slot carries eval_key
+                itself: the eval episode is identical with or without a
+                mesh)."""
+                eps = jax.vmap(lambda i: noise.generate(epoch, i))(ids)
+                all_flats = self._shard(
+                    jnp.concatenate(
+                        [flat[None, :] + sigma * eps, jnp.tile(flat[None, :], (n_eval, 1))]
+                    )
+                )
+                all_keys = jnp.concatenate([ks, jnp.repeat(eval_key[None], n_eval, axis=0)])
+                det = jnp.zeros((n_pop + n_eval,), bool).at[n_pop:].set(True)
+                all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
+                res = jax.vmap(lambda p, k, d: one(p, k, d, Z))(all_params, all_keys, det)
+                return res, novelty_of(all_params, n_pop + n_eval)
 
-            pop = jax.tree.map(lambda x: x[:P], res)
-            ev = jax.tree.map(lambda x: x[P], res)
+            if not chunked:
+                res, novelty = members_plus_eval(member_ids, pop_keys, P)
+                pop_reward, pop_entropy, pop_steps = res.reward[:P], res.entropy[:P], res.steps[:P]
+                pop_nov = novelty[:P]
+                ev = jax.tree.map(lambda x: x[P], res)
+                ev_nov = novelty[P]
+                # one merged Welford delta per window: population members plus
+                # ONE eval member (replicated eval slots would double-count)
+                merged_stats = welford.jnp_merge_population(
+                    jax.tree.map(lambda x: x[: P + 1], res.obs_stats)
+                )
+            else:
+                # memory-bounded: only chunk 0 (peeled out of the lax.map)
+                # carries the eval slots and the [C, Z, *obs] state-collect
+                # buffers; the remaining chunks run the lean body, so at most
+                # ~C x d perturbed parameters are live at once — the
+                # production-width escape hatch (runners/vectorized.py)
+                C = chunk
+                ids_c = member_ids.reshape(P // C, C)
+                keys_c = pop_keys.reshape(P // C, C)
+                res0, nov0 = members_plus_eval(ids_c[0], keys_c[0], C)
+                ev = jax.tree.map(lambda x: x[C], res0)
+                ev_nov = nov0[C]
+                merged0 = welford.jnp_merge_population(
+                    jax.tree.map(lambda x: x[: C + 1], res0.obs_stats)
+                )
+
+                def chunk_body(args):
+                    ids, ks = args
+                    eps = jax.vmap(lambda i: noise.generate(epoch, i))(ids)
+                    flats = self._shard(flat[None, :] + sigma * eps)
+                    params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(flats)
+                    res = jax.vmap(
+                        lambda p, k: one(p, k, jnp.asarray(False), None)
+                    )(params, ks)
+                    merged = welford.jnp_merge_population(res.obs_stats)
+                    return (res.reward, res.entropy, res.steps,
+                            novelty_of(params, C), merged)
+
+                r_rew, r_ent, r_steps, r_nov, r_stats = jax.lax.map(
+                    chunk_body, (ids_c[1:], keys_c[1:])
+                )
+                cat = lambda a, b: jnp.concatenate([a, b.reshape((P - C,))])
+                pop_reward = cat(res0.reward[:C], r_rew)
+                pop_entropy = cat(res0.entropy[:C], r_ent)
+                pop_steps = cat(res0.steps[:C], r_steps)
+                pop_nov = cat(nov0[:C], r_nov)
+                merged_stats = welford.jnp_merge(
+                    merged0, welford.jnp_merge_population(r_stats)
+                )
+
             return (
-                pop.reward, pop.entropy, pop.steps, novelty[:P],
-                ev.reward, ev.entropy, ev.steps, ev.states, novelty[P],
+                pop_reward, pop_entropy, pop_steps, pop_nov,
+                ev.reward, ev.entropy, ev.steps, ev.states, ev_nov,
                 merged_stats,
             )
 

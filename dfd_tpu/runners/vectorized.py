@@ -312,15 +312,42 @@ class VectorizedTrainer:
         # count, latency-bound) — fusing it makes eval ~free.  On a mesh the
         # eval slot is replicated once per device (P + n_devices keeps the
         # population axis evenly sharded; only slot P's result is read).
-        # Falls back to the separate-eval path only for population chunking
-        # (the lax.map chunk structure).  E>1 composes: the eval slot runs E
-        # identical deterministic episodes (same key) and reads episode 0 —
-        # (E-1)/((P+1)E) wasted frames vs a whole extra latency-bound eval
-        # scan (measured +30% epoch throughput at prod widths, E=2).
+        # E>1 composes: the eval slot runs E identical deterministic
+        # episodes (same key) and reads episode 0 — (E-1)/((P+1)E) wasted
+        # frames vs a whole extra latency-bound eval scan (measured +30%
+        # epoch throughput at prod widths, E=2).  Under population chunking
+        # the eval slots ride CHUNK 0, which is peeled out of the lax.map
+        # (one extra trace of the chunk body) so only that chunk pays the
+        # [C, collect_limit, *obs] state-collection carry — the remaining
+        # chunks keep the lean body, and eval stays ~free exactly in the
+        # production-width regime where epochs are most expensive.
         Z = state.zeta.shape[0]
         n_eval = 1 if self.mesh is None else int(self.mesh.shape[self.cfg.mesh_axes[0]])
-        fused_eval = (not chunked) and Z > 0
+        fused_eval = Z > 0
         do_eval = (state.epoch % cfg.eval_every) == 0
+
+        def fused_member(params, key, d):
+            # population members use the same E-way key split as
+            # member_rollout (bit-identical episodes); eval slots repeat
+            # their key so episode 0 IS the separate-path eval episode, and
+            # the E-reduction collapses to it
+            split = jax.random.key_data(jax.random.split(key, E))
+            same = jnp.broadcast_to(jax.random.key_data(key), split.shape)
+            keys_e = jax.random.wrap_key_data(jnp.where(d, same, split))
+            res_e = jax.vmap(
+                lambda k: one_episode(params, k, deterministic=d, collect_limit=Z)
+            )(keys_e)
+            merged = welford.jnp_merge_population(res_e.obs_stats)
+            first = jax.tree.map(lambda x: x[0], res_e.obs_stats)
+            pick = lambda a, b: jnp.where(d, a, b)
+            return fd_rollout.RolloutResult(
+                reward=pick(res_e.reward[0], res_e.reward.mean()),
+                entropy=pick(res_e.entropy[0], res_e.entropy.mean()),
+                steps=pick(res_e.steps[0], res_e.steps.sum()),
+                obs_stats=jax.tree.map(pick, first, merged),
+                states=res_e.states[0],
+            )
+
         if chunked:
             # 1-3 fused, memory-bounded: lax.map over population chunks; the
             # noise, perturbed parameters, rollout state and novelty of only
@@ -343,9 +370,58 @@ class VectorizedTrainer:
                 nov = self._batch_novelty(params_c, state, archive, archive_count)
                 return res, nov
 
-            result, novelty = jax.lax.map(eval_chunk, (ids_c, keys_c))
-            result = jax.tree.map(lambda x: x.reshape((P,) + x.shape[2:]), result)
-            novelty = novelty.reshape(P)
+            if fused_eval:
+                # chunk 0, peeled out of the map, carries the n_eval
+                # deterministic eval slots (zero noise, eval_key) at its
+                # tail — one chunk-width dispatch instead of a separate
+                # full-latency eval scan
+                def chunk0(ids, ks):
+                    eps_c = jax.vmap(lambda i: self.noise.generate(state.epoch, i))(ids)
+                    all_flats = self._shard_pop(
+                        jnp.concatenate(
+                            [
+                                state.flat[None, :] + cfg.noise_std * eps_c,
+                                jnp.tile(state.flat[None, :], (n_eval, 1)),
+                            ],
+                            axis=0,
+                        )
+                    )
+                    all_keys = jnp.concatenate(
+                        [ks, jnp.repeat(eval_key[None], n_eval, axis=0)]
+                    )
+                    det = jnp.zeros((C + n_eval,), bool).at[C:].set(True)
+                    all_params = jax.vmap(lambda v: model.set_flat(v, xp=jnp))(all_flats)
+                    if E == 1:
+                        res_plus = jax.vmap(
+                            lambda p, k, d: one_episode(
+                                p, k, deterministic=d, collect_limit=Z
+                            )
+                        )(all_params, all_keys, det)
+                    else:
+                        res_plus = jax.vmap(fused_member)(all_params, all_keys, det)
+                    nov_plus = self._batch_novelty(
+                        all_params, state, archive, archive_count
+                    )
+                    res0 = jax.tree.map(lambda x: x[:C], res_plus)._replace(states=None)
+                    ev = jax.tree.map(lambda x: x[C], res_plus)
+                    return res0, nov_plus[:C], ev, nov_plus[C]
+
+                res0, nov0, fused_eval_res, fused_eval_novelty = chunk0(
+                    ids_c[0], keys_c[0]
+                )
+                rest, nov_rest = jax.lax.map(eval_chunk, (ids_c[1:], keys_c[1:]))
+                result = jax.tree.map(
+                    lambda a, b: jnp.concatenate(
+                        [a, b.reshape((P - C,) + b.shape[2:])], axis=0
+                    ),
+                    res0,
+                    rest,
+                )
+                novelty = jnp.concatenate([nov0, nov_rest.reshape(P - C)])
+            else:
+                result, novelty = jax.lax.map(eval_chunk, (ids_c, keys_c))
+                result = jax.tree.map(lambda x: x.reshape((P,) + x.shape[2:]), result)
+                novelty = novelty.reshape(P)
             eps = None
             noise_ssq = None
         else:
@@ -430,29 +506,6 @@ class VectorizedTrainer:
                         states=resh.states[:, 0],
                     )
                 else:
-                    def fused_member(params, key, d):
-                        # population members use the same E-way key split as
-                        # member_rollout (bit-identical episodes); eval slots
-                        # repeat their key so episode 0 IS the separate-path
-                        # eval episode, and the E-reduction collapses to it
-                        split = jax.random.key_data(jax.random.split(key, E))
-                        same = jnp.broadcast_to(jax.random.key_data(key), split.shape)
-                        keys_e = jax.random.wrap_key_data(jnp.where(d, same, split))
-                        res_e = jax.vmap(
-                            lambda k: one_episode(params, k, deterministic=d,
-                                                  collect_limit=Z)
-                        )(keys_e)
-                        merged = welford.jnp_merge_population(res_e.obs_stats)
-                        first = jax.tree.map(lambda x: x[0], res_e.obs_stats)
-                        pick = lambda a, b: jnp.where(d, a, b)
-                        return fd_rollout.RolloutResult(
-                            reward=pick(res_e.reward[0], res_e.reward.mean()),
-                            entropy=pick(res_e.entropy[0], res_e.entropy.mean()),
-                            steps=pick(res_e.steps[0], res_e.steps.sum()),
-                            obs_stats=jax.tree.map(pick, first, merged),
-                            states=res_e.states[0],
-                        )
-
                     result_plus = jax.vmap(fused_member)(all_params, all_keys, det)
                 result = jax.tree.map(lambda x: x[:P], result_plus)
                 fused_eval_res = jax.tree.map(lambda x: x[P], result_plus)

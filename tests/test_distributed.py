@@ -636,3 +636,58 @@ def test_client_survives_server_crash_and_retargets():
         assert result["ok"] is True
     finally:
         runner.request_stop()
+
+
+def test_slice_client_population_chunking_matches_dense():
+    """population_chunk on the slice client (round 4: the production-width
+    escape hatch reaches the flagship elastic topology) must produce the
+    IDENTICAL window — same member rewards/novelty/steps, same fused eval
+    episode, same merged Welford delta — as the dense shard evaluation."""
+    from dfd_tpu.runners.slice_client import SliceClientRunner
+
+    cfg = dict(
+        noise_kind="counter", env_id="SimpleTrapEnv-v0", random_seed=7,
+        noise_std=0.05, normalize_obs=True, obs_stats_update_chance=0.5,
+        max_strategy_history_size=4, noise_seed=123,
+    )
+
+    def window(chunk):
+        r = SliceClientRunner(n_members=8, population_chunk=chunk)
+        r._configure(cfg)
+        params, _ = r.model.init(3)
+        r.flat = r.model.get_flat(params)
+        r.epoch = 2
+        rng = np.random.RandomState(0)
+        r.zeta = rng.rand(4, *r.env.obs_shape).astype(np.float32)
+        F = r.model.output_shape
+        r.archive = np.zeros((4, 4, F), np.float32)
+        r.archive[:2] = rng.rand(2, 4, F).astype(np.float32)
+        r.archive_count = 2  # novelty live, not the <2 guard
+        r.windows = 1
+        return r._collect_window()
+
+    dense = window(None)
+    chunked = window(4)
+    assert len(dense) == len(chunked) == 9  # 8 members + 1 eval
+    for d, c in zip(dense, chunked):
+        assert d.encoded_noise == c.encoded_noise
+        assert d.is_eval == c.is_eval
+        assert d.timesteps == c.timesteps
+        np.testing.assert_allclose(d.reward, c.reward, rtol=1e-6)
+        np.testing.assert_allclose(d.novelty, c.novelty, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(d.entropy, c.entropy, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(dense[-1].eval_states), np.asarray(chunked[-1].eval_states),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense[0].obs_stats_update),
+        np.asarray(chunked[0].obs_stats_update), rtol=1e-5,
+    )
+
+
+def test_slice_client_rejects_bad_chunk():
+    from dfd_tpu.runners.slice_client import SliceClientRunner
+
+    with pytest.raises(ValueError):
+        SliceClientRunner(n_members=8, population_chunk=3)

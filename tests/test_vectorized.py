@@ -215,12 +215,14 @@ def test_population_chunking_matches_dense():
     np.testing.assert_allclose(
         np.asarray(chunked.state.flat), np.asarray(dense.state.flat), rtol=1e-5, atol=1e-6
     )
-    r1 = [r["Noisy Reward"] for r in dense.reporter.history]
-    r2 = [r["Noisy Reward"] for r in chunked.reporter.history]
-    np.testing.assert_allclose(r1, r2, rtol=1e-6)
-    n1 = [r["Noisy Novelty"] for r in dense.reporter.history]
-    n2 = [r["Noisy Novelty"] for r in chunked.reporter.history]
-    np.testing.assert_allclose(n1, n2, rtol=1e-4, atol=1e-6)
+    # Policy Reward covers the fused eval slot riding chunk 0 (round 4): the
+    # chunked eval episode must be the same episode the dense fused path runs
+    for key, tol in (("Noisy Reward", 1e-6), ("Policy Reward", 1e-6),
+                     ("Noisy Novelty", 1e-4)):
+        a = [r[key] for r in dense.reporter.history]
+        b = [r[key] for r in chunked.reporter.history]
+        np.testing.assert_allclose(a, b, rtol=tol, atol=1e-6)
+    assert dense.cumulative_timesteps == chunked.cumulative_timesteps
 
 
 def test_population_chunking_matches_dense_with_env_averaging():
@@ -234,9 +236,10 @@ def test_population_chunking_matches_dense_with_env_averaging():
     np.testing.assert_allclose(
         np.asarray(chunked.state.flat), np.asarray(dense.state.flat), rtol=1e-5, atol=1e-6
     )
-    r1 = [r["Noisy Reward"] for r in dense.reporter.history]
-    r2 = [r["Noisy Reward"] for r in chunked.reporter.history]
-    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    for key in ("Noisy Reward", "Policy Reward"):
+        a = [r[key] for r in dense.reporter.history]
+        b = [r[key] for r in chunked.reporter.history]
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
 def test_flat_e_lowering_matches_nested():
