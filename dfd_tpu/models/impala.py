@@ -330,9 +330,20 @@ class ImpalaPolicy(PolicyModel):
         cd = self.compute_dtype
         x = jnp.asarray(frames, jnp.float32) / 255.0
         for k in range(len(self.channels)):
-            x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
-            x = self._conv(params[f"feat{k}_conv"], x, cd)
-            x = maxpool3x3s2(x)
+            if self.conv_impl == "fused" and fused_resblock.fused_supported(
+                x.shape[2], x.shape[3]
+            ) and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+                # feature block (BN -> conv -> pool) fused in VMEM: no im2col
+                # patches tensor in HBM — the dense-path memory wall at
+                # production widths (round 4; docs/RESULTS.md)
+                fw, fb, fs, ft = fused_resblock.feat_weights(
+                    params, state, k, layers.BN_EPS
+                )
+                x = fused_resblock.fused_feat_pool(x, fw, fb, fs, ft, compute_dtype=cd)
+            else:
+                x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
+                x = self._conv(params[f"feat{k}_conv"], x, cd)
+                x = maxpool3x3s2(x)
             if self.conv_impl == "fused" and fused_resblock.fused_supported(
                 x.shape[2], x.shape[3]
             ):

@@ -135,6 +135,98 @@ def fused_res_stage(x, w, b, s, t, interpret=None, compute_dtype=None):
     return out.reshape(B, C, H, W)
 
 
+def _dense_maxmap(y, W: int, S: int, roll, masks):
+    """[C, S] -> [C, S] 3x3 'same' max map (-inf padding): the stride-1
+    neighborhood max at every position.  The caller subsamples even rows/
+    cols OUTSIDE the kernel — Mosaic rejects strided lane slices (round-2
+    probe, docs/RESULTS.md), but a [C, H, W] ::2 slice is trivial for XLA,
+    and the dense map costs one extra VPU max-tree while saving the whole
+    im2col round-trip."""
+    ml, mr, mt, mb = masks
+    neg = jnp.float32(-jnp.inf)
+    up = jnp.where(mt > 0, roll(y, W, 1), neg)
+    dn = jnp.where(mb > 0, roll(y, S - W, 1), neg)
+    v = jnp.maximum(jnp.maximum(up, dn), y)
+    left = jnp.where(ml > 0, roll(v, 1, 1), neg)
+    right = jnp.where(mr > 0, roll(v, S - 1, 1), neg)
+    return jnp.maximum(jnp.maximum(left, right), v)
+
+
+def _featpool_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, o_ref,
+                     *, H: int, W: int, interpret: bool, compute_dtype):
+    """One IMPALA stage's feature block, fused: BN-eval affine -> 3x3 conv
+    (one MXU dot against in-register taps) -> dense 3x3 max map, all
+    VMEM-resident.  Kills the feat conv's [9ci, S] im2col patches tensor —
+    the dense-path HBM wall at production widths (P=256: 17.2 GB,
+    docs/RESULTS.md) — at the cost of writing the pre-subsample [co, S]
+    map (4x the pooled output, but 9ci/4co times less than the patches
+    round-trip it replaces).  Reference structure: policies/impala.py:62-75
+    (BatchNorm -> Conv2d -> MaxPool, no ReLU in the feature block)."""
+    S = H * W
+    roll = jnp.roll if interpret else pltpu.roll
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    col = lane % W
+    row = lane // W
+    masks = (
+        (col != 0).astype(jnp.float32),
+        (col != W - 1).astype(jnp.float32),
+        (row != 0).astype(jnp.float32),
+        (row != H - 1).astype(jnp.float32),
+    )
+    h = x_ref[:] * s_ref[:][:, None] + t_ref[:][:, None]
+    pat = _build_pat(h, W, S, roll, masks)
+    w = w_ref[:]
+    if compute_dtype is not None:
+        pat = pat.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(w, pat, preferred_element_type=jnp.float32) + b_ref[:][:, None]
+    o_ref[:] = _dense_maxmap(y, W, S, roll, masks)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "interpret", "compute_dtype")
+)
+def _featpool_call(x, w, b, s, t, H, W, interpret, compute_dtype):
+    co = w.shape[0]
+    kernel = functools.partial(
+        _featpool_kernel, H=H, W=W, interpret=interpret, compute_dtype=compute_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((co, H * W), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, w, b, s, t)
+
+
+def fused_feat_pool(x, w, b, s, t, interpret=None, compute_dtype=None):
+    """One IMPALA stage's feature block (BN -> 3x3 conv -> maxpool 3x3 s2)
+    over a batch of frames, with no HBM im2col tensor.
+
+    x: [B, ci, H, W] stage input; w: [co, 9ci] tap-ordered conv weight
+    (``reorder_conv_weight``); b: [co]; s, t: [ci] folded BN-eval
+    scale/shift.  Returns [B, co, H//2, W//2] float32 (H, W even)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    B, ci, H, W = x.shape
+    xs = x.reshape(B, ci, H * W).astype(jnp.float32)
+    call = functools.partial(
+        _featpool_call, H=H, W=W, interpret=interpret, compute_dtype=compute_dtype
+    )
+    dense = jax.vmap(lambda xb: call(xb, w, b, s, t))(xs)
+    co = w.shape[0]
+    # stride-2 subsample of the dense max map = maxpool 3x3 s2 p1 (H even)
+    return dense.reshape(B, co, H, W)[:, :, ::2, ::2]
+
+
+def feat_weights(params, state, stage: int, eps: float):
+    """One stage's feature-block tensors in the fused kernel's layout."""
+    conv = params[f"feat{stage}_conv"]
+    sc, sh = fold_bn_eval(params[f"feat{stage}_bn"], state[f"feat{stage}_bn"], eps)
+    return reorder_conv_weight(conv["w"]), conv["b"], sc, sh
+
+
 def fold_bn_eval(bn_params, bn_state, eps: float) -> tuple:
     """BN-eval (x - mean)/sqrt(var+eps)*gamma + beta -> (scale, shift)."""
     scale = bn_params["w"] / jnp.sqrt(bn_state["var"] + eps)

@@ -56,7 +56,15 @@ class FatClientRunner:
         address: str = "localhost",
         port: int = 1025,
         vector_env_factory: Optional[Callable] = None,
+        pipeline_lanes: int = 1,
     ):
+        """``pipeline_lanes``: split the shard's envs into this many vector
+        backends and let the evaluator software-pipeline them — the device
+        forwards lane k while the host steps lane k-1 (double buffering;
+        SURVEY section 7 hard part 5).  1 = the serial lockstep loop."""
+        if pipeline_lanes < 1 or n_envs % pipeline_lanes != 0:
+            raise ValueError("pipeline_lanes must be >= 1 and divide n_envs")
+        self.pipeline_lanes = pipeline_lanes
         self.n_envs = n_envs
         self.address, self.port = address, port
         self.client = FDClient()
@@ -145,7 +153,14 @@ class FatClientRunner:
         self.noise = CounterNoise(
             model.num_params, random_seed=int(cfg["noise_seed"]), antithetic=self.antithetic
         )
-        vec = self._vector_env_factory(env_id, self.n_envs, seed)
+        L = self.pipeline_lanes
+        if L == 1:
+            vec = self._vector_env_factory(env_id, self.n_envs, seed)
+        else:
+            per = self.n_envs // L
+            vec = [
+                self._vector_env_factory(env_id, per, seed + l * per) for l in range(L)
+            ]
         self.evaluator = BatchedHostEvaluator(
             model, vec, self.noise, sigma, normalize_obs=self.normalize_obs,
             obs_stats_update_chance=float(cfg["obs_stats_update_chance"]),

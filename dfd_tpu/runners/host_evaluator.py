@@ -49,16 +49,21 @@ class BatchWelford:
         self.m2 = np.zeros((n,) + self.shape, np.float32)
         self.count = np.zeros(n, np.int64)
 
-    def update_masked(self, obs: np.ndarray, mask: np.ndarray) -> None:
+    def update_masked(self, obs: np.ndarray, mask: np.ndarray, rows=None) -> None:
+        """``rows``: optional global slice that the (obs, mask) block maps to
+        (multi-lane evaluators update one lane's sub-block at a time)."""
         if not mask.any():
             return
+        if rows is None:
+            rows = slice(0, len(mask))
+        idx = np.arange(rows.start, rows.stop)[mask]
         obs = np.asarray(obs, np.float32)[mask].reshape((-1,) + self.shape)
-        self.count[mask] += 1
-        c = self.count[mask].reshape((-1,) + (1,) * len(self.shape)).astype(np.float32)
-        delta = obs - self.mean[mask]
+        self.count[idx] += 1
+        c = self.count[idx].reshape((-1,) + (1,) * len(self.shape)).astype(np.float32)
+        delta = obs - self.mean[idx]
         delta_n = delta / c
-        self.mean[mask] += delta_n
-        self.m2[mask] += delta * delta_n * (c - 1)
+        self.mean[idx] += delta_n
+        self.m2[idx] += delta * delta_n * (c - 1)
 
     def serialize_member(self, i: int) -> List[float]:
         """Wire format of one member's delta (Welford.serialize layout)."""
@@ -73,14 +78,25 @@ class BatchedHostEvaluator:
     def __init__(self, model: PolicyModel, vector_env, noise: CounterNoise, sigma: float,
                  normalize_obs: bool = False, obs_stats_update_chance: float = 0.0,
                  distance_fn: Optional[Callable] = None):
+        """``vector_env``: one vector backend, or a SEQUENCE of backends
+        ("lanes").  With 2+ lanes the per-step loop software-pipelines
+        device and host work (SURVEY.md section 7 hard part 5): the device
+        forward for lane k is dispatched asynchronously, then the host steps
+        lane k-1's envs while the device computes — double-buffered
+        half-population pipelining with no extra threads, since JAX dispatch
+        is already asynchronous and the sync point (materializing lane k's
+        actions) lands after lane k-1's host step."""
         self.model = model
-        self.env = vector_env
+        lanes = list(vector_env) if isinstance(vector_env, (list, tuple)) else [vector_env]
+        self.lanes = lanes
+        self.env = lanes[0] if len(lanes) == 1 else vector_env
         self.noise = noise
         self.sigma = sigma
         self.normalize_obs = normalize_obs
         self.obs_stats_update_chance = obs_stats_update_chance
         self.distance_fn = distance_fn
-        self.n = vector_env.n_envs
+        self.n = sum(l.n_envs for l in lanes)
+        self._carry_cache = {}
 
         def act(pop_flats, bn_state, obs, key, obs_mean, obs_std):
             obs = jnp.asarray(obs, jnp.float32)
@@ -123,12 +139,18 @@ class BatchedHostEvaluator:
 
         self._act = jax.jit(act)
         self._act_recurrent = jax.jit(act_recurrent)
-        self._init_carry = jax.jit(
-            lambda: jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (self.n,) + x.shape),
-                model.initial_carry(),
-            )
-        )
+
+        def _init_carry(width: int):
+            if width not in self._carry_cache:
+                self._carry_cache[width] = jax.jit(
+                    lambda: jax.tree.map(
+                        lambda x: jnp.broadcast_to(x, (width,) + x.shape),
+                        model.initial_carry(),
+                    )
+                )
+            return self._carry_cache[width]()
+
+        self._init_carry = _init_carry
         self._perturb = jax.jit(
             lambda flat, epoch, offset: flat[None, :]
             + sigma
@@ -199,53 +221,96 @@ class BatchedHostEvaluator:
         return also carries its device-computed novelty vs the broadcast
         archive (reference worker/worker.py:53)."""
         n = self.n
+        lanes = self.lanes
+        L = len(lanes)
         pop_flats = self._perturb(jnp.asarray(flat, jnp.float32), epoch, id_offset)
-        obs = self.env.reset_all()
-        obs_mean = jnp.zeros(obs.shape[1:]) if obs_mean is None else jnp.asarray(obs_mean)
-        obs_std = jnp.ones(obs.shape[1:]) if obs_std is None else jnp.asarray(obs_std)
+        # lane l covers global members [starts[l], starts[l] + lanes[l].n_envs)
+        starts = np.cumsum([0] + [l.n_envs for l in lanes])[:-1]
+        lane_flats = [
+            jax.lax.slice_in_dim(pop_flats, int(s), int(s) + l.n_envs)
+            for s, l in zip(starts, lanes)
+        ]
+        obs = [l.reset_all() for l in lanes]
+        obs_shape = obs[0].shape[1:]
+        obs_mean = jnp.zeros(obs_shape) if obs_mean is None else jnp.asarray(obs_mean)
+        obs_std = jnp.ones(obs_shape) if obs_std is None else jnp.asarray(obs_std)
 
         rewards = np.zeros(n, np.float64)
         ent_sum = np.zeros(n, np.float64)
         steps = np.zeros(n, np.int64)
-        alive = np.ones(n, bool)
+        alive = [np.ones(l.n_envs, bool) for l in lanes]
 
         sample_stats = self.normalize_obs and self.obs_stats_update_chance > 0
         if sample_stats:
-            stats = BatchWelford(n, obs.shape[1:])
+            stats = BatchWelford(n, obs_shape)
             stats_rng = np.random.default_rng(
                 np.asarray(jax.random.key_data(key)).ravel().astype(np.uint32)
             )
 
         recurrent = self.model.recurrent
+        carry = [None] * L
+        prev_rewards = [None] * L
         if recurrent:
-            carry = self._init_carry()
-            prev_rewards = jnp.zeros(n, jnp.float32)
+            for l, lane in enumerate(lanes):
+                carry[l] = self._init_carry(lane.n_envs)
+                prev_rewards[l] = jnp.zeros(lane.n_envs, jnp.float32)
 
-        for t in range(horizon):
-            key, sub = jax.random.split(key)
+        def dispatch(l, sub):
+            """Async device dispatch of lane l's forward for its current obs.
+            The lane key folds in the lane's GLOBAL member-id base, so a
+            member's action stream depends on its global id, not on how the
+            shard happens to be cut into lanes — an L-lane evaluation of
+            [0, n) equals L single-lane evaluations of its blocks."""
+            lane_key = jax.random.fold_in(sub, id_offset + int(starts[l]))
             if sample_stats:
                 # sample the RAW obs the member is about to act on
+                g = slice(starts[l], starts[l] + lanes[l].n_envs)
                 stats.update_masked(
-                    obs, alive & (stats_rng.random(n) < self.obs_stats_update_chance)
+                    np.asarray(obs[l]),
+                    alive[l]
+                    & (stats_rng.random(lanes[l].n_envs) < self.obs_stats_update_chance),
+                    rows=g,
                 )
             if recurrent:
-                actions, entropies, carry = self._act_recurrent(
-                    pop_flats, bn_state, obs, prev_rewards, carry, sub, obs_mean, obs_std
+                a, e, carry[l] = self._act_recurrent(
+                    lane_flats[l], bn_state, obs[l], prev_rewards[l], carry[l],
+                    lane_key, obs_mean, obs_std,
                 )
-            else:
-                actions, entropies = self._act(pop_flats, bn_state, obs, sub, obs_mean, obs_std)
-            obs, rew, done = self.env.step(np.asarray(actions))
-            if recurrent:
-                # the policy consumes the previous transition's reward next
-                # step (reference utils/impala_env_wrapper.py:25-28 timing);
-                # finished members' carries/rewards go stale harmlessly —
-                # the alive mask stops their accounting
-                prev_rewards = jnp.asarray(rew, jnp.float32)
-            rewards[alive] += rew[alive]
-            ent_sum[alive] += np.asarray(entropies)[alive]
-            steps[alive] += 1
-            alive &= ~np.asarray(done)
-            if not alive.any():
+                return a, e
+            return self._act(lane_flats[l], bn_state, obs[l], lane_key, obs_mean, obs_std)
+
+        key, sub = jax.random.split(key)
+        pending = [dispatch(l, sub) for l in range(L)]
+        for t in range(horizon):
+            key, sub = jax.random.split(key)
+            for l, lane in enumerate(lanes):
+                if pending[l] is None:
+                    continue
+                # sync point: while lane l's actions materialize here, the
+                # device is already computing the OTHER lanes' forwards and
+                # the host just finished stepping lane l-1 — the overlap that
+                # hides host env time behind device compute (and vice versa)
+                actions, entropies = pending[l]
+                actions = np.asarray(actions)
+                o, rew, done = lane.step(actions)
+                obs[l] = o
+                if recurrent:
+                    # the policy consumes the previous transition's reward
+                    # next step (reference utils/impala_env_wrapper.py:25-28
+                    # timing); finished members' carries/rewards go stale
+                    # harmlessly — the alive mask stops their accounting
+                    prev_rewards[l] = jnp.asarray(rew, jnp.float32)
+                g = slice(starts[l], starts[l] + lane.n_envs)
+                a = alive[l]
+                # basic-slice views write through to the global accumulators
+                rewards[g][a] += rew[a]
+                ent_sum[g][a] += np.asarray(entropies)[a]
+                steps[g][a] += 1
+                alive[l] = a & ~np.asarray(done)
+                pending[l] = (
+                    dispatch(l, sub) if (t + 1 < horizon and alive[l].any()) else None
+                )
+            if all(p is None for p in pending):
                 break
 
         novelty = self.compute_novelty(pop_flats, bn_state, zeta, archive, archive_count)

@@ -56,3 +56,75 @@ def test_host_evaluator_feeds_fd_learner():
         upd = learner.step(rets, float(np.mean(rewards)), 0.0, 0.0)
         assert upd > 0
     assert learner.epoch == 4
+
+
+class _ScriptedEnv:
+    """Deterministic gym-surface env: obs encodes (t, last action); reward is
+    a pure function of (env id, t, action); episodes end on a step budget."""
+
+    def __init__(self, i, horizon=9):
+        self.i = i
+        self.horizon = horizon
+        self.t = 0
+        self.last = 0
+
+    def _obs(self):
+        return np.array([self.t / 10.0, (self.i + self.last) / 10.0], np.float32)
+
+    def reset(self):
+        self.t, self.last = 0, 0
+        return self._obs()
+
+    def step(self, action):
+        self.t += 1
+        self.last = int(action)
+        rew = float((self.i * 7 + self.t * 3 + self.last) % 5 - 2)
+        done = self.t >= self.horizon or (self.i + self.t) % 11 == 10
+        return self._obs(), rew, done, {}
+
+
+def test_threadpool_vector_env_matches_python_loop():
+    from dfd_tpu.envs.vector_host import PythonVectorEnv, ThreadPoolVectorEnv
+
+    serial = PythonVectorEnv(_ScriptedEnv, 7)
+    pooled = ThreadPoolVectorEnv(_ScriptedEnv, 7, n_workers=3)
+    o1, o2 = serial.reset_all(), pooled.reset_all()
+    np.testing.assert_array_equal(o1, o2)
+    rng = np.random.RandomState(0)
+    for _ in range(12):
+        acts = rng.randint(0, 9, 7)
+        o1, r1, d1 = serial.step(acts)
+        o2, r2, d2 = pooled.step(acts)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(d1, d2)
+    pooled.close()
+
+
+@pytest.mark.skipif(not native_pool_available(), reason="native pool not built")
+def test_two_lane_pipeline_matches_single_lane_blocks():
+    """An L-lane pipelined evaluation of members [0, n) must equal L
+    independent single-lane evaluations of its blocks: lane keys fold in the
+    global member-id base, so rewards/entropies/steps are invariant to how
+    the shard is cut into lanes (round 4, SURVEY section 7 hard part 5)."""
+    model = DiscreteMLP(2, 9)
+    params, state = model.init(0)
+    flat = model.get_flat(params)
+
+    def returns_for(pools, id_offset=0):
+        noise = CounterNoise(model.num_params, random_seed=1)
+        ev = BatchedHostEvaluator(model, pools, noise, sigma=0.05)
+        return ev.evaluate_population(
+            flat, state, epoch=2, horizon=201, key=jax.random.key(5),
+            id_offset=id_offset,
+        )
+
+    two_lane = returns_for([NativeTrapPool(4), NativeTrapPool(4)])
+    half_a = returns_for(NativeTrapPool(4), id_offset=0)
+    half_b = returns_for(NativeTrapPool(4), id_offset=4)
+    assert len(two_lane) == 8
+    for got, want in zip(two_lane, half_a + half_b):
+        assert got.encoded_noise == want.encoded_noise
+        assert got.timesteps == want.timesteps
+        np.testing.assert_allclose(got.reward, want.reward, rtol=1e-6)
+        np.testing.assert_allclose(got.entropy, want.entropy, rtol=1e-5)

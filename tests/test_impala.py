@@ -177,6 +177,42 @@ def test_impala_fused_resblock_matches_patches():
         np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
 
 
+def test_fused_feat_pool_matches_bn_conv_maxpool():
+    """The fused feature-block kernel (BN-eval -> 3x3 conv -> 3x3 s2 maxpool
+    with no HBM im2col tensor; round 4) must match the unfused composition
+    exactly, including the -inf padding semantics of the pool's borders."""
+    import jax.numpy as jnp
+
+    from dfd_tpu.models.impala import (
+        batchnorm2d_eval, conv3x3_patches, maxpool3x3s2,
+    )
+    from dfd_tpu.models import layers
+    from dfd_tpu.ops import fused_resblock
+
+    rng = np.random.RandomState(5)
+    ci, co, H, W = 5, 7, 16, 8  # odd channel counts, rectangular frame
+    x = jnp.asarray(rng.randn(3, ci, H, W).astype(np.float32))
+    conv = {
+        "w": jnp.asarray(rng.randn(co, ci, 3, 3).astype(np.float32) * 0.3),
+        "b": jnp.asarray(rng.randn(co).astype(np.float32)),
+    }
+    bn_p = {
+        "w": jnp.asarray(rng.rand(ci).astype(np.float32) + 0.5),
+        "b": jnp.asarray(rng.randn(ci).astype(np.float32)),
+    }
+    bn_s = {
+        "mean": jnp.asarray(rng.randn(ci).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(ci).astype(np.float32) + 0.2),
+    }
+    want = maxpool3x3s2(conv3x3_patches(conv, batchnorm2d_eval(bn_p, bn_s, x)))
+    sc, sh = fused_resblock.fold_bn_eval(bn_p, bn_s, layers.BN_EPS)
+    got = fused_resblock.fused_feat_pool(
+        x, fused_resblock.reorder_conv_weight(conv["w"]), conv["b"], sc, sh,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
 def test_impala_vbn_matches_torch_full_model():
     """Full-model VBN parity: one train-mode forward over a buffer must
     update EVERY BatchNorm's running stats exactly like the reference's

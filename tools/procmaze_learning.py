@@ -262,27 +262,45 @@ RUNS = {
                  zeta_size=8, max_strategy_history_size=8, random_seed=0,
                  episode_length=ENV["max_steps"]),
         phases=[(320, 200)],
+        checkpoint=True,
     ),
 }
 
 
 def run_one(name, spec):
+    from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
     from dfd_tpu.utils.curriculum import train_level_curriculum
 
     env = spec["env"]()
     model = spec["model"](env)
+    path = os.path.join(OUT, f"{name}.jsonl")
+    ckpt_path = os.path.join(OUT, f"{name}.ckpt.npz") if spec.get("checkpoint") else None
+    resuming = ckpt_path is not None and os.path.exists(ckpt_path)
     # incremental curve sink: hours-long runs must not lose their history to
     # a late crash — each epoch row is appended to the jsonl as it lands
-    path = os.path.join(OUT, f"{name}.jsonl")
-    sink_f = open(path, "w", buffering=1)
+    sink_f = open(path, "a" if resuming else "w", buffering=1)
     rep = EpochReporter(quiet=True, sink=lambda row: sink_f.write(json.dumps(row) + "\n"))
     tr = VectorizedTrainer(model, env, distances.categorical_tvd,
                            TrainConfig(**spec["cfg"]), reporter=rep)
     t0 = time.time()
-    train_level_curriculum(tr, spec["phases"], sync_every=10)
+    if ckpt_path is None:
+        train_level_curriculum(tr, spec["phases"], sync_every=10)
+    else:
+        # checkpointed single-phase run: save every sync so a crash or a
+        # wedged device tunnel costs at most 10 epochs
+        assert len(spec["phases"]) == 1, "checkpointing supports single-phase runs"
+        total = spec["phases"][0][0]
+        if resuming:
+            load_checkpoint(ckpt_path, tr)
+            print(json.dumps({"run": name, "resumed_at_epoch": int(tr.state.epoch)}),
+                  flush=True)
+        while int(tr.state.epoch) < total:
+            tr.train_fast(min(10, total - int(tr.state.epoch)), sync_every=10)
+            save_checkpoint(ckpt_path, tr)
     wall = time.time() - t0
     sink_f.close()
-    h = rep.history
+    with open(path) as f:
+        h = [json.loads(line) for line in f if line.strip()]
     evals = [r["Policy Reward"] for r in h]
     out = {
         "run": name,
