@@ -691,3 +691,44 @@ def test_slice_client_rejects_bad_chunk():
 
     with pytest.raises(ValueError):
         SliceClientRunner(n_members=8, population_chunk=3)
+
+
+def test_slice_client_chunked_pixel_e2e():
+    """The flagship elastic topology runs the flagship model family at
+    bounded memory: a chunked slice shard of IMPALA on a pixel env feeds the
+    counter-noise server end-to-end (round-4 item: production-width models
+    on slice shards go through population_chunk)."""
+    from dfd_tpu.runners.slice_client import SliceClientRunner
+    from dfd_tpu.runners.server import ServerRunner
+    from dfd_tpu.utils.metrics import EpochReporter
+
+    reporter = EpochReporter(quiet=True)
+    server = ServerRunner(
+        env_id="PixelGridSmall-v0", batch_size=4, zeta_size=4,
+        max_strategy_history_size=4, random_seed=51, port=0,
+        noise_kind="counter", reporter=reporter, timestep_limit=10_000_000,
+    )
+
+    result = {}
+
+    def client_main():
+        for _ in range(200):
+            if getattr(server, "bound_port", None):
+                break
+            time.sleep(0.05)
+        runner = SliceClientRunner(
+            n_members=4, port=server.bound_port, population_chunk=2,
+            wait_for_new_state=True, state_wait_timeout=30,
+        )
+        result["ok"] = runner.run(max_windows=20, reconnect_attempts=3)
+
+    ct = threading.Thread(target=client_main, daemon=True)
+    st = threading.Thread(target=lambda: server.train(max_epochs=2), daemon=True)
+    st.start()
+    ct.start()
+    st.join(timeout=600)
+    assert not st.is_alive(), "server loop did not finish"
+    assert len(reporter.history) >= 1
+    assert np.isfinite(reporter.history[-1]["Noisy Reward"])
+    assert server.learner.discarded_returns == 0
+    ct.join(timeout=60)
