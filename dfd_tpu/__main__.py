@@ -169,7 +169,8 @@ def cmd_client(args) -> int:
         from dfd_tpu.runners.fat_client import FatClientRunner
 
         ok = FatClientRunner(
-            n_envs=args.n_envs, address=args.address, port=args.port
+            n_envs=args.n_envs, address=args.address, port=args.port,
+            pipeline_lanes=args.pipeline_lanes,
         ).run(max_windows=args.max_windows)
     elif args.mode == "slice":
         from dfd_tpu.runners.slice_client import SliceClientRunner
@@ -313,6 +314,9 @@ def main(argv=None) -> int:
     p.add_argument("--population-chunk", type=int, default=None,
                    help="slice mode: evaluate the shard in memory-bounded "
                         "chunks of this many members (production-width models)")
+    p.add_argument("--pipeline-lanes", type=int, default=1,
+                   help="fat mode: split envs into this many lanes and "
+                        "overlap device forwards with host env stepping")
     p.set_defaults(fn=cmd_client)
 
     p = sub.add_parser("sweep", help="random hyperparameter search")
