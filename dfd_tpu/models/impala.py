@@ -332,7 +332,12 @@ class ImpalaPolicy(PolicyModel):
         for k in range(len(self.channels)):
             if self.conv_impl == "fused" and fused_resblock.fused_supported(
                 x.shape[2], x.shape[3]
-            ) and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0:
+            ) and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0 and (
+                x.shape[1] % 8 == 0
+            ):
+                # (ci % 8: the tap concat stacks 9 ci-row blocks in sublanes;
+                # misaligned blocks — the 3-channel stage-1 input — are kept
+                # on the patches path, which is also where im2col is cheapest)
                 # feature block (BN -> conv -> pool) fused in VMEM: no im2col
                 # patches tensor in HBM — the dense-path memory wall at
                 # production widths (round 4; docs/RESULTS.md)
