@@ -173,13 +173,17 @@ def _featpool_kernel(x_ref, w_ref, b_ref, s_ref, t_ref, o_ref,
         (row != 0).astype(jnp.float32),
         (row != H - 1).astype(jnp.float32),
     )
-    h = x_ref[:] * s_ref[:][:, None] + t_ref[:][:, None]
+    # b/s/t arrive as column vectors [c, 1]: under the member-vmap they batch
+    # to [P, c, 1] blocks whose last two dims equal the overall array dims —
+    # a 1-D [c] operand would batch to [P, c] with an unsupported (1, c)
+    # per-member block (Mosaic requires sublane blocks of 8 or full extent)
+    h = x_ref[:] * s_ref[:] + t_ref[:]
     pat = _build_pat(h, W, S, roll, masks)
     w = w_ref[:]
     if compute_dtype is not None:
         pat = pat.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jnp.dot(w, pat, preferred_element_type=jnp.float32) + b_ref[:][:, None]
+    y = jnp.dot(w, pat, preferred_element_type=jnp.float32) + b_ref[:]
     o_ref[:] = _dense_maxmap(y, W, S, roll, masks)
 
 
@@ -214,7 +218,9 @@ def fused_feat_pool(x, w, b, s, t, interpret=None, compute_dtype=None):
     call = functools.partial(
         _featpool_call, H=H, W=W, interpret=interpret, compute_dtype=compute_dtype
     )
-    dense = jax.vmap(lambda xb: call(xb, w, b, s, t))(xs)
+    # column-vector layout for the per-channel tensors (see _featpool_kernel)
+    b2, s2, t2 = b[:, None], s[:, None], t[:, None]
+    dense = jax.vmap(lambda xb: call(xb, w, b2, s2, t2))(xs)
     co = w.shape[0]
     # stride-2 subsample of the dense max map = maxpool 3x3 s2 p1 (H even)
     return dense.reshape(B, co, H, W)[:, :, ::2, ::2]
