@@ -47,6 +47,16 @@ FAMILIES = {
                      lr=0.05, sigma=0.05, zeta=32, history=16, eval_prob=0.1),
     "pendulum": dict(obs=3, act=1, discrete=False, epochs=60, batch=16,
                      lr=0.02, sigma=0.05, zeta=32, history=16, eval_prob=0.1),
+    # CartPole band where the reference LEARNS (round-4 item: the DSGD band
+    # above is a matched stall — measured grid: DSGD stalls CartPole at every
+    # corner of the reference's own sweep ranges, lr 0.005-0.1 x sigma
+    # 0.025-0.1 x batch 16-100, run_server.py:266-276).  The reference's
+    # pluggable ``opt_fn`` (run_sequential.py:19) with torch.optim.SGD is the
+    # configuration that does learn; both sides run plain SGD here
+    # (probe: rebuild noisy reward 21 -> 83+ and climbing at epoch 100).
+    "cartpole_sgd": dict(obs=4, act=2, discrete=True, epochs=120, batch=128,
+                         lr=2.0, sigma=0.1, zeta=32, history=16,
+                         eval_prob=0.1, opt="sgd"),
     # pixel families (round 4): the reference's torch AtariPolicy
     # (policies/atari.py:7-51) and ImpalaPolicy (policies/impala.py:8-186)
     # through the identical run_sequential.py loop.  Both train on 1-level
@@ -87,7 +97,8 @@ def make_jax_env(name):
         )
     if name == "impala":
         return ProcMazeEnv(num_levels=1, grid=4, scale=16, max_steps=14)
-    return {"trap": TrapEnv, "cartpole": CartPoleEnv, "pendulum": PendulumEnv}[name]()
+    return {"trap": TrapEnv, "cartpole": CartPoleEnv,
+            "cartpole_sgd": CartPoleEnv, "pendulum": PendulumEnv}[name]()
 
 
 def _ref_atari_policy_cls(ref):
@@ -178,7 +189,13 @@ class ReferenceLoop:
             default_value=0, improvement_threshold=1.035, reward_history_size=20,
             min_value=0, max_value=1, steps_to_min=25, steps_to_max=75,
         )
-        opt = ref.DSGD(self.policy.parameters(), lr=spec["lr"])
+        if spec.get("opt") == "sgd":
+            # the reference's pluggable opt_fn (run_sequential.py:19, :86):
+            # any torch optimizer; FiniteDifferences only special-cases DSGD
+            # for adjust_lr (finite_differences.py:22, :51-52)
+            opt = torch.optim.SGD(self.policy.parameters(), lr=spec["lr"])
+        else:
+            opt = ref.DSGD(self.policy.parameters(), lr=spec["lr"])
         noise = RNGNoiseSource(self.policy.num_params, random_seed=seed)
         self.handler = ref.StrategyHandler(
             self.policy, distance_fn, max_history_size=spec["history"]
@@ -296,7 +313,7 @@ def run_rebuild(name, spec, seed):
     cfg = TrainConfig(
         batch_size=spec["batch"], learning_rate=spec["lr"], noise_std=spec["sigma"],
         zeta_size=spec["zeta"], max_strategy_history_size=spec["history"],
-        random_seed=seed,
+        random_seed=seed, optimizer=spec.get("opt", "dsgd"),
     )
     rep = EpochReporter(quiet=True)
     tr = VectorizedTrainer(model, env, distance_fn, cfg, reporter=rep)
