@@ -52,7 +52,7 @@ def test_recurrent_evaluator_carry_advances():
 
     pop = ev._perturb(flat, 0, 0)
     obs = ev.env.reset_all()
-    carry0 = ev._init_carry()
+    carry0 = ev._init_carry(N)
     _, _, carry1 = ev._act_recurrent(
         pop, state, obs, jax.numpy.zeros(N), carry0, jax.random.key(1),
         jax.numpy.zeros(FRAME), jax.numpy.ones(FRAME),
