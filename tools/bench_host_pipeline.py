@@ -41,7 +41,12 @@ class GemmEnv:
     the GIL, like MuJoCo's mj_step / ALE's act through their bindings).
     Observation is 2-d so the trap-shaped DiscreteMLP drives it unchanged."""
 
-    K = 96  # GEMM size per step
+    # GEMM size per step.  Measured on this host (1-thread BLAS): K=192 is
+    # ~0.4 ms/step — MuJoCo-class per-step cost, where the thread pool pays
+    # (1.7x of the 2-core ceiling); K=96 is ~0.03 ms, where python dispatch
+    # dominates and the serial loop wins (the same regime as the native trap
+    # pool, whose lockstep single-FFI design exists for exactly that reason).
+    K = 192
 
     def __init__(self, i, horizon=200):
         self.i = int(i)
