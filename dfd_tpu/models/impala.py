@@ -160,6 +160,12 @@ CONV_IMPLS = {
     # (ops/fused_resblock.py) for each stage's res blocks — 2.3-2.5x on the
     # res chain at production widths, measured (tools/probe_pallas_wide.py)
     "fused": conv3x3_patches,
+    # "fused_feat": "fused" plus the fused feature block (BN -> conv ->
+    # maxpool in VMEM, no HBM im2col tensor — the dense-path memory wall at
+    # production widths, round 4).  Opt-in until its real-hardware speed is
+    # characterized; the res-pair kernel alone is the HW-measured operating
+    # point carried in bench.py
+    "fused_feat": conv3x3_patches,
 }
 
 
@@ -202,7 +208,10 @@ class ImpalaPolicy(PolicyModel):
         policy head stay f32 (probs within ~1e-2 of the f32 path).
 
         ``conv_impl``: "patches" (default; im2col + batched GEMM — the fast
-        lowering under population vmap) or "lax" (direct lax.conv).
+        lowering under population vmap), "lax" (direct lax.conv), "fused"
+        (patches + the pallas residual-pair kernel — the HW-measured
+        production operating point), or "fused_feat" ("fused" plus the
+        fused feature block, killing the feat conv's HBM im2col tensor).
 
         ``channels``/``hidden``: torso widths.  The reference's 16/32/32
         (policies/impala.py:63) is the parity default; production-scale
@@ -330,7 +339,7 @@ class ImpalaPolicy(PolicyModel):
         cd = self.compute_dtype
         x = jnp.asarray(frames, jnp.float32) / 255.0
         for k in range(len(self.channels)):
-            if self.conv_impl == "fused" and fused_resblock.fused_supported(
+            if self.conv_impl == "fused_feat" and fused_resblock.fused_supported(
                 x.shape[2], x.shape[3]
             ) and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0 and (
                 x.shape[1] % 8 == 0
@@ -349,7 +358,7 @@ class ImpalaPolicy(PolicyModel):
                 x = batchnorm2d_eval(params[f"feat{k}_bn"], state[f"feat{k}_bn"], x)
                 x = self._conv(params[f"feat{k}_conv"], x, cd)
                 x = maxpool3x3s2(x)
-            if self.conv_impl == "fused" and fused_resblock.fused_supported(
+            if self.conv_impl in ("fused", "fused_feat") and fused_resblock.fused_supported(
                 x.shape[2], x.shape[3]
             ):
                 # both res blocks of the stage in one VMEM-resident kernel

@@ -167,14 +167,15 @@ def test_impala_fused_resblock_matches_patches():
     patches lowering to float tolerance, at reference AND production widths."""
     for channels, hidden in (((16, 32, 32), 256), ((64, 128, 128), 512)):
         base = ImpalaPolicy(FRAME, A, channels=channels, hidden=hidden)
-        fused = ImpalaPolicy(
-            FRAME, A, channels=channels, hidden=hidden, conv_impl="fused"
-        )
         params, state = base.init(4)
         frames = (np.random.RandomState(2).rand(2, *FRAME) * 255).astype(np.float32)
         a = np.asarray(base.apply(params, state, frames))
-        b = np.asarray(fused.apply(params, state, frames))
-        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+        for impl in ("fused", "fused_feat"):
+            fused = ImpalaPolicy(
+                FRAME, A, channels=channels, hidden=hidden, conv_impl=impl
+            )
+            b = np.asarray(fused.apply(params, state, frames))
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5, err_msg=impl)
 
 
 def test_fused_feat_pool_matches_bn_conv_maxpool():
