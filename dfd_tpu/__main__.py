@@ -170,7 +170,7 @@ def cmd_client(args) -> int:
 
         ok = FatClientRunner(
             n_envs=args.n_envs, address=args.address, port=args.port,
-            pipeline_lanes=args.pipeline_lanes,
+            pipeline_lanes=args.pipeline_lanes, env_backend=args.env_backend,
         ).run(max_windows=args.max_windows)
     elif args.mode == "slice":
         from dfd_tpu.runners.slice_client import SliceClientRunner
@@ -317,6 +317,11 @@ def main(argv=None) -> int:
     p.add_argument("--pipeline-lanes", type=int, default=1,
                    help="fat mode: split envs into this many lanes and "
                         "overlap device forwards with host env stepping")
+    p.add_argument("--env-backend", choices=["auto", "serial", "thread"],
+                   default="auto",
+                   help="fat mode host-env backend: thread-pool C-engine "
+                        "envs, serial python loop, or auto (probe one step's "
+                        "cost and apply the measured crossover)")
     p.set_defaults(fn=cmd_client)
 
     p = sub.add_parser("sweep", help="random hyperparameter search")

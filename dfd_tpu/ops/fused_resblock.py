@@ -219,7 +219,12 @@ def fused_feat_pool(x, w, b, s, t, interpret=None, compute_dtype=None):
         _featpool_call, H=H, W=W, interpret=interpret, compute_dtype=compute_dtype
     )
     # column-vector layout for the per-channel tensors (see _featpool_kernel)
+    assert b.ndim == s.ndim == t.ndim == 1, (
+        "fused_feat_pool expects 1-D per-channel b/s/t (it builds the [c, 1] "
+        f"column-vector Mosaic layout itself); got {b.shape}/{s.shape}/{t.shape}"
+    )
     b2, s2, t2 = b[:, None], s[:, None], t[:, None]
+    assert b2.shape == (w.shape[0], 1) and s2.shape == t2.shape == (ci, 1)
     dense = jax.vmap(lambda xb: call(xb, w, b2, s2, t2))(xs)
     co = w.shape[0]
     # stride-2 subsample of the dense max map = maxpool 3x3 s2 p1 (H even)

@@ -14,6 +14,7 @@ standard Agent over one extra env, triggered with the configured
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional
 
@@ -32,21 +33,71 @@ from dfd_tpu.utils.factory import get_init_data
 from dfd_tpu.utils.profiling import StageTimer
 
 
-def default_vector_env(env_id: str, n_envs: int, seed: int):
-    """Best vector backend for an env id: the native C++ pool for the trap
-    env when built, otherwise N python-looped host envs."""
-    if env_id == "SimpleTrapEnv-v0":
+# Measured serial/thread crossover (tools/bench_host_pipeline.py, this
+# 2-core host, docs/RESULTS.md): at ~0.4 ms/step (MuJoCo/ALE-class C
+# engines) the thread pool wins 1.7x; at ~0.03 ms python dispatch dominates
+# and the serial loop wins 2.4x.  The threshold sits between the two
+# measured regimes, biased low so real C engines (all >= 0.2 ms) clear it.
+THREAD_CROSSOVER_S = 0.15e-3
+
+
+def choose_backend(step_cost_s: float, cpu_count: Optional[int] = None) -> str:
+    """Selection policy for ``backend='auto'``: thread-pool envs whose step
+    is C-engine-heavy (>= the measured crossover) on multi-core hosts;
+    serial otherwise (python dispatch dominates trivial steps, and a
+    1-core host has nothing to overlap)."""
+    cores = cpu_count if cpu_count is not None else (os.cpu_count() or 1)
+    if cores <= 1:
+        return "serial"
+    return "thread" if step_cost_s >= THREAD_CROSSOVER_S else "serial"
+
+
+def probe_step_cost(env_id: str, seed: int, n_steps: int = 12) -> float:
+    """Median wall-clock of one host-env step (the ``auto`` backend probe).
+    Builds one throwaway env, resets, and steps a fixed do-nothing action;
+    re-resets on episode end so every timing is a real step."""
+    env, model, _ = get_init_data(env_id, seed)
+    action = 0 if model.discrete else np.zeros(model.output_shape, np.float32)
+    env.reset()
+    costs = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        _, _, done, _ = env.step(action)
+        costs.append(time.perf_counter() - t0)
+        if done:
+            env.reset()
+    if hasattr(env, "close"):
+        env.close()
+    return float(np.median(costs))
+
+
+def default_vector_env(env_id: str, n_envs: int, seed: int, backend: str = "auto"):
+    """Vector backend for an env id.
+
+    ``backend``: "serial" (python loop / native trap pool), "thread"
+    (:class:`ThreadPoolVectorEnv` — C engines whose ``step`` releases the
+    GIL step concurrently), or "auto" (default): the native C++ pool for
+    the trap env, otherwise probe one env's measured step cost and apply
+    the serial/thread crossover (``choose_backend``)."""
+    if backend not in ("auto", "serial", "thread"):
+        raise ValueError(f"env backend must be auto|serial|thread, got {backend!r}")
+    if env_id == "SimpleTrapEnv-v0" and backend in ("auto", "serial"):
+        # lockstep single-FFI pool: fastest measured backend for trivial
+        # per-step costs (docs/RESULTS.md crossover table)
         from dfd_tpu.envs.native_pool import NativeTrapPool, native_pool_available
 
         if native_pool_available():
             return NativeTrapPool(n_envs)
-    from dfd_tpu.envs.vector_host import PythonVectorEnv
+    from dfd_tpu.envs.vector_host import PythonVectorEnv, ThreadPoolVectorEnv
 
     def make(i):
         env, _, _ = get_init_data(env_id, seed + i)
         return env
 
-    return PythonVectorEnv(make, n_envs)
+    if backend == "auto":
+        backend = choose_backend(probe_step_cost(env_id, seed))
+    cls = ThreadPoolVectorEnv if backend == "thread" else PythonVectorEnv
+    return cls(make, n_envs)
 
 
 class FatClientRunner:
@@ -57,18 +108,27 @@ class FatClientRunner:
         port: int = 1025,
         vector_env_factory: Optional[Callable] = None,
         pipeline_lanes: int = 1,
+        env_backend: str = "auto",
     ):
         """``pipeline_lanes``: split the shard's envs into this many vector
         backends and let the evaluator software-pipeline them — the device
         forwards lane k while the host steps lane k-1 (double buffering;
-        SURVEY section 7 hard part 5).  1 = the serial lockstep loop."""
+        SURVEY section 7 hard part 5).  1 = the serial lockstep loop.
+
+        ``env_backend``: serial | thread | auto (see
+        :func:`default_vector_env`); ignored when a custom
+        ``vector_env_factory`` is supplied."""
         if pipeline_lanes < 1 or n_envs % pipeline_lanes != 0:
             raise ValueError("pipeline_lanes must be >= 1 and divide n_envs")
         self.pipeline_lanes = pipeline_lanes
         self.n_envs = n_envs
         self.address, self.port = address, port
         self.client = FDClient()
-        self._vector_env_factory = vector_env_factory or default_vector_env
+        if vector_env_factory is None:
+            vector_env_factory = lambda env_id, n, seed: default_vector_env(
+                env_id, n, seed, backend=env_backend
+            )
+        self._vector_env_factory = vector_env_factory
         self.evaluator: Optional[BatchedHostEvaluator] = None
         self.windows = 0
         # per-window wall-clock stages (SURVEY section 5.1's observability on

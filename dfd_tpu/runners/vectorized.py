@@ -128,6 +128,7 @@ class VectorizedTrainer:
         self.cumulative_timesteps = 0
         self._last_archived = None
         self.timer = StageTimer()
+        self._panel_cache = {}
 
         self._e_flat = False
         self._step = self._resolve_e_lowering() or self._make_step()
@@ -152,6 +153,7 @@ class VectorizedTrainer:
         self.env = env
         self.horizon = self.cfg.episode_length or env.max_episode_steps
         self._step = self._make_step()  # fresh trace: closes over the new env
+        self._panel_cache = {}  # panel closures capture the old env
 
     def _archive_current(self) -> None:
         """Submit the current policy unless it is already the latest archive
@@ -172,7 +174,9 @@ class VectorizedTrainer:
                 archive, count = self._archive_inputs()
             with self.timer.stage("device_step"):
                 self.state, metrics = self._step(self.state, archive, count)
-                m = {k: float(v) for k, v in metrics.items()}  # forces sync
+                # ONE host transfer for the whole metrics dict (forces sync);
+                # per-scalar float() would pay a tunnel round-trip per key
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             self.cumulative_timesteps += int(m.pop("_timesteps"))
 
             did_eval = m.pop("_did_eval") > 0
@@ -220,7 +224,12 @@ class VectorizedTrainer:
                 for _ in range(n):
                     self.state, metrics = self._step(self.state, archive, count)
                     per_epoch.append(metrics)
-                jax.block_until_ready(self.state.flat)
+                # fetch the chunk's whole metric pytree in ONE transfer (also
+                # the sync closing the chunk timing).  Per-scalar float()
+                # conversion costs a host round-trip per key per epoch —
+                # measured 7.5x below the chained-dispatch rate on the
+                # relayed tunnel (round-4 soak, docs/RESULTS.md).
+                per_epoch = jax.device_get(per_epoch)
             chunk_time = time.perf_counter() - t0
 
             any_eval = False
@@ -820,6 +829,49 @@ class VectorizedTrainer:
         keys = jax.random.split(k0, n)
         _, (buf, rewards) = jax.lax.scan(step, (env_state0, obs0, jnp.float32(0)), keys)
         return (buf, rewards) if with_rewards else buf
+
+    def eval_panel(self, n_panel: int = 32, panel_seed: int = 1234) -> np.ndarray:
+        """Deterministic greedy episode on each of ``n_panel`` FIXED reset
+        keys (hence fixed level draws on procedurally-generated envs),
+        returning the per-episode rewards.
+
+        The trainer's built-in eval metric is an EMA of ONE greedy episode on
+        a RANDOM level per eval epoch, so on wide level distributions its
+        variance is dominated by level luck (the reference inherits the same
+        single-episode eval, run_sequential.py:137-143).  A fixed panel makes
+        "the policy holds a threshold" a property of the policy rather than
+        of the draw: the same K levels are replayed every call, and the
+        panel mean's seed-noise shrinks ~1/sqrt(K).
+
+        Pure read-only: does not advance the trainer's RNG, EMAs, zeta or
+        epoch — safe to interleave with training at any cadence."""
+        cache_key = (int(n_panel), int(panel_seed))
+        fn = self._panel_cache.get(cache_key)
+        if fn is None:
+            model, env, cfg = self.model, self.env, self.cfg
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(jax.random.key(panel_seed), i)
+            )(jnp.arange(n_panel))
+
+            def run(state: TrainState) -> jnp.ndarray:
+                obs_mean, obs_std = welford.jnp_mean_std(state.obs_stats)
+                params = model.set_flat(state.flat, xp=jnp)
+
+                def one(k):
+                    return fd_rollout.episode_rollout(
+                        model, env, params, state.bn_state, k, self.horizon,
+                        deterministic=jnp.asarray(True),
+                        obs_mean=obs_mean, obs_std=obs_std,
+                        normalize_obs=cfg.normalize_obs,
+                        obs_stats_update_chance=0.0,
+                        collect_states=False,
+                        unroll=cfg.scan_unroll,
+                    ).reward
+
+                return jax.vmap(one)(keys)
+
+            fn = self._panel_cache[cache_key] = jax.jit(run)
+        return np.asarray(jax.device_get(fn(self.state)))
 
     def train_to_timesteps(self, timestep_limit: int, sync_every: int = 10) -> None:
         """Train until ``cumulative_timesteps`` reaches the limit (the

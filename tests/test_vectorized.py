@@ -309,3 +309,52 @@ def test_checkpoint_restore_into_warm_trainer():
         load_checkpoint(path, b)
         b.train(1)  # must not crash
     assert int(b.state.epoch) == 5
+
+
+def test_eval_panel_fixed_deterministic_and_read_only():
+    """Round-5 panel eval: same K reset keys every call (fixed level draws),
+    deterministic, and side-effect-free on the training state."""
+    tr = _trainer(P=4)
+    tr.train(2)
+    as_np = lambda s: jax.tree.map(
+        np.asarray, s._replace(key=jax.random.key_data(s.key))
+    )
+    before = as_np(tr.state)
+
+    p1 = tr.eval_panel(6, panel_seed=7)
+    p2 = tr.eval_panel(6, panel_seed=7)
+    assert p1.shape == (6,)
+    np.testing.assert_array_equal(p1, p2)
+
+    # read-only: no RNG/epoch/EMA advance from panel evaluation
+    after = as_np(tr.state)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    # the panel tracks the policy: a later call recompiles nothing and still
+    # reads the CURRENT parameters
+    tr.train(6)
+    p4 = tr.eval_panel(6, panel_seed=7)
+    assert p4.shape == (6,)
+
+
+def test_eval_panel_fixes_levels_on_procedural_envs():
+    """On a procedurally-generated distribution the panel's fixed reset keys
+    pin the level draws: same seed -> identical level panel across calls,
+    different seed -> a different (generally non-identical) draw."""
+    from dfd_tpu.envs.procmaze import ProcMazeEnv
+    from dfd_tpu.models.atari import AtariCNN
+
+    env = ProcMazeEnv(grid=4, scale=16, max_steps=14, num_levels=200)
+    model = AtariCNN((env.obs_shape[1], env.obs_shape[2]), env.n_actions,
+                     in_channels=env.obs_shape[0])
+    cfg = TrainConfig(batch_size=4, zeta_size=4, max_strategy_history_size=4,
+                      episode_length=14, random_seed=0)
+    tr = VectorizedTrainer(model, env, distances.categorical_tvd, cfg,
+                           reporter=EpochReporter(quiet=True))
+    p1 = tr.eval_panel(8, panel_seed=7)
+    np.testing.assert_array_equal(p1, tr.eval_panel(8, panel_seed=7))
+    p3 = tr.eval_panel(8, panel_seed=8)
+    # shaped maze returns depend on the level's start/goal distance, so a
+    # different fixed draw shifts the per-episode returns
+    assert not np.array_equal(p1, p3)

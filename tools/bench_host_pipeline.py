@@ -46,6 +46,8 @@ class GemmEnv:
     # (1.7x of the 2-core ceiling); K=96 is ~0.03 ms, where python dispatch
     # dominates and the serial loop wins (the same regime as the native trap
     # pool, whose lockstep single-FFI design exists for exactly that reason).
+    # Settable via the CLI; every JSON row echoes the K it ran at, so rows
+    # recorded in different regimes stay self-describing (round-4 advisor).
     K = 192
 
     def __init__(self, i, horizon=200):
@@ -91,7 +93,7 @@ def bench_backend(n_envs: int, horizon: int):
         if hasattr(env, "close"):
             env.close()
     out["speedup"] = round(out["thread_pool"] / out["python_loop"], 2)
-    print(json.dumps({"bench": "vector_backend_gemm_env",
+    print(json.dumps({"bench": "vector_backend_gemm_env", "K": GemmEnv.K,
                       "n_envs": n_envs, "horizon": horizon,
                       **{k: round(v, 1) for k, v in out.items()}}), flush=True)
 
@@ -115,13 +117,19 @@ def bench_backend(n_envs: int, horizon: int):
         print(json.dumps({"bench": "native_trap_pool", "error": str(e)}), flush=True)
 
 
-def bench_pipeline(n_envs: int, horizon: int):
+def bench_pipeline(n_envs: int, horizon: int, lane_counts=(1, 2, 4), reps: int = 3):
+    """Window throughput of the lane-pipelined evaluator: device forwards
+    lane k while the host steps lane k-1 (JAX async dispatch as the double
+    buffer).  Best-of-``reps`` windows per lane count (host timing jitters
+    with the shared relay process)."""
     model = DiscreteMLP(2, 9)
     params, state = model.init(0)
     flat = model.get_flat(params)
 
     results = {}
-    for lanes in (1, 2):
+    for lanes in lane_counts:
+        if n_envs % lanes != 0:
+            continue
         per = n_envs // lanes
         vec = (
             ThreadPoolVectorEnv(lambda i: GemmEnv(i, horizon), n_envs)
@@ -135,23 +143,32 @@ def bench_pipeline(n_envs: int, horizon: int):
         ev = BatchedHostEvaluator(model, vec, noise, sigma=0.05)
         # warm: compile the act path
         ev.evaluate_population(flat, state, epoch=0, horizon=3, key=jax.random.key(0))
-        t0 = time.perf_counter()
-        rets = ev.evaluate_population(
-            flat, state, epoch=1, horizon=horizon, key=jax.random.key(1)
-        )
-        dt = time.perf_counter() - t0
-        steps = sum(r.timesteps for r in rets)
-        results[lanes] = steps / dt
+        best = 0.0
+        for r in range(reps):
+            t0 = time.perf_counter()
+            rets = ev.evaluate_population(
+                flat, state, epoch=1 + r, horizon=horizon, key=jax.random.key(1 + r)
+            )
+            dt = time.perf_counter() - t0
+            steps = sum(r.timesteps for r in rets)
+            best = max(best, steps / dt)
+        results[lanes] = best
         print(json.dumps({"bench": "host_evaluator_window", "lanes": lanes,
-                          "n_envs": n_envs, "horizon": horizon,
-                          "env_steps_per_s": round(steps / dt, 1)}), flush=True)
-    print(json.dumps({"bench": "pipeline_speedup",
-                      "x": round(results[2] / results[1], 2)}), flush=True)
+                          "K": GemmEnv.K, "n_envs": n_envs, "horizon": horizon,
+                          "env_steps_per_s": round(best, 1)}), flush=True)
+    base = results.get(1)
+    if base:
+        print(json.dumps({"bench": "pipeline_speedup", "K": GemmEnv.K,
+                          **{f"x{l}": round(v / base, 2)
+                             for l, v in results.items() if l != 1}}), flush=True)
+    return results
 
 
 def main():
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     horizon = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    if len(sys.argv) > 3:
+        GemmEnv.K = int(sys.argv[3])
     bench_backend(n_envs, horizon)
     bench_pipeline(n_envs, horizon)
 

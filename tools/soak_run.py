@@ -58,7 +58,9 @@ def make_trainer():
 def main():
     limit = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
     half = limit // 2
-    ckpt = os.path.join(OUT, "soak_ckpt.npz")
+    # name matches the docs/curves/*.ckpt.npz ignore rule: the 11 MB binary
+    # stays out of git; docs/curves/soak_ckpt.meta.json records its hash
+    ckpt = os.path.join(OUT, "soak.ckpt.npz")
 
     tr = make_trainer()
     t0 = time.time()
