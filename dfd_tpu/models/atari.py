@@ -28,24 +28,28 @@ def _conv_out(size: int, k: int, s: int) -> int:
     return (size - k) // s + 1
 
 
-def conv2d(p, x, stride):
+def conv2d(p, x, stride, compute_dtype=None):
     """NCHW conv with OIHW weights (torch layout) + bias.
 
     Lowered as im2col patches + GEMM: under ``vmap`` over member-batched
     weights (the FD population forward) ``lax.conv`` becomes a grouped conv
     that starves the MXU, while the weight-free patches op vmaps for free
     and the contraction stays one batched GEMM (same finding as the IMPALA
-    torso, models/impala.py::conv3x3_patches — 2.2x there)."""
+    torso, models/impala.py::conv3x3_patches — 2.2x there).
+
+    ``compute_dtype`` (e.g. bf16) casts the GEMM operands; accumulation
+    stays f32 via ``preferred_element_type`` (the MXU's native mode)."""
     w = p["w"]
     co, ci, kh, kw = w.shape
     pat = jax.lax.conv_general_dilated_patches(
         x, (kh, kw), (stride, stride), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )  # [N, ci*kh*kw, H', W']
-    y = jnp.einsum(
-        "nkhw,ok->nohw", pat, w.reshape(co, ci * kh * kw),
-        preferred_element_type=jnp.float32,
-    )
+    wk = w.reshape(co, ci * kh * kw)
+    if compute_dtype is not None:
+        pat = pat.astype(compute_dtype)
+        wk = wk.astype(compute_dtype)
+    y = jnp.einsum("nkhw,ok->nohw", pat, wk, preferred_element_type=jnp.float32)
     return y + p["b"][None, :, None, None]
 
 
@@ -57,10 +61,16 @@ def batchnorm2d_eval(p, s, x):
 class AtariCNN(PolicyModel):
     discrete = True
 
-    def __init__(self, frame_shape: Tuple[int, int], n_actions: int, in_channels: int = 4):
+    def __init__(self, frame_shape: Tuple[int, int], n_actions: int, in_channels: int = 4,
+                 compute_dtype=None):
+        """``compute_dtype``: optional reduced-precision GEMM operand dtype
+        (bf16) for the conv/fc contractions, f32 accumulation — the same
+        lever as ImpalaPolicy(compute_dtype=...); parameters, BatchNorm and
+        the softmax head stay f32."""
         h, w = int(frame_shape[0]), int(frame_shape[1])
         self.frame_hw = (h, w)
         self.in_channels = in_channels
+        self.compute_dtype = compute_dtype
         self.input_shape = (in_channels, h, w)
         self.output_shape = int(n_actions)
 
@@ -119,15 +129,22 @@ class AtariCNN(PolicyModel):
     # -- forward -----------------------------------------------------------------
 
     def _features(self, params, state, x, train=False, new_state=None):
-        bn = (lambda n, v: layers.batchnorm_train(params[n], state[n], v)) if train else None
-        x = conv2d(params["conv1"], x, 4)
+        cd = self.compute_dtype
+        x = conv2d(params["conv1"], x, 4, cd)
         x = self._bn2d(params, state, "bn1", x, train, new_state)
         x = jax.nn.relu(x)
-        x = conv2d(params["conv2"], x, 2)
+        x = conv2d(params["conv2"], x, 2, cd)
         x = self._bn2d(params, state, "bn2", x, train, new_state)
         x = jax.nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        x = layers.linear(params["fc"], x)
+        if cd is not None:
+            # the fc GEMM is the widest contraction (256 x flat_features)
+            x = jnp.dot(
+                x.astype(cd), params["fc"]["w"].T.astype(cd),
+                preferred_element_type=jnp.float32,
+            ) + params["fc"]["b"]
+        else:
+            x = layers.linear(params["fc"], x)
         x = self._bn1d(params, state, "bn3", x, train, new_state)
         x = jax.nn.relu(x)
         return layers.linear(params["head"], x)

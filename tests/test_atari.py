@@ -101,3 +101,20 @@ def test_atari_vbn_matches_torch():
         np.testing.assert_allclose(
             np.asarray(new_state[name]["var"]), sd[f"{tkey}.running_var"].numpy(), atol=1e-4
         )
+
+
+def test_compute_dtype_bf16_close_to_f32():
+    """AtariCNN(compute_dtype=bf16) keeps f32 accumulation: action probs
+    stay close to the f32 lowering (same lever as ImpalaPolicy's)."""
+    import jax.numpy as jnp
+
+    f32 = AtariCNN((64, 64), 9, in_channels=3)
+    bf16 = AtariCNN((64, 64), 9, in_channels=3, compute_dtype=jnp.bfloat16)
+    params, state = f32.init(0)
+    x = np.random.RandomState(1).rand(4, 3, 64, 64).astype(np.float32)
+    pa = np.asarray(f32.apply(params, state, x))
+    pb = np.asarray(bf16.apply(params, state, x))
+    assert pa.shape == pb.shape == (4, 9)
+    np.testing.assert_allclose(pa, pb, atol=0.03)
+    # probs remain a distribution
+    np.testing.assert_allclose(pb.sum(axis=1), 1.0, atol=1e-5)
