@@ -182,10 +182,15 @@ def main():
 
     # [3] Atari CNN on the pixel grid (deepmind-style 0-1 frames); P=256 is the
     # measured sweet spot (183k/215k/190k steps/s at P=128/256/512).
+    # compute_dtype=bf16 (round 5): bf16 GEMM operands with f32 accumulation
+    # halve the im2col HBM traffic — 288.8k vs 220.4k steps/s measured on the
+    # same config (docs/curves/round5_session.jsonl), same lever as the
+    # impala_prod_bf16 row.
     env_cnn = PixelGridEnv(grid=8, scale=8, max_steps=40, intensity=1.0)
     suite["cnn_pixelgrid"] = bench_config(
         "cnn_pixelgrid",
-        AtariCNN((64, 64), env_cnn.n_actions, in_channels=3),
+        AtariCNN((64, 64), env_cnn.n_actions, in_channels=3,
+                 compute_dtype=jnp.bfloat16),
         env_cnn,
         distances.categorical_tvd,
         TrainConfig(batch_size=256, zeta_size=16, max_strategy_history_size=8,
@@ -195,10 +200,14 @@ def main():
 
     # [4] IMPALA ResNet+LSTM on the procgen-shaped maze (the flagship);
     # P=128 measured marginally ahead of 64/256 (20.0k/20.7k/17.9k).
+    # conv_impl="fused_feat" (round 5): the VMEM-resident feature block
+    # (BN -> 3x3 conv -> maxpool) on top of the fused res pairs — measured
+    # +16% over patches at reference widths once HW-characterized
+    # (25.8k vs 22.3k on the P=64 pixelgrid probe, round5_session.jsonl).
     env_imp = ProcMazeEnv(grid=8, scale=8, max_steps=40, num_levels=200)
     suite["impala_procmaze"] = bench_config(
         "impala_procmaze",
-        ImpalaPolicy(env_imp.obs_shape, env_imp.n_actions),
+        ImpalaPolicy(env_imp.obs_shape, env_imp.n_actions, conv_impl="fused_feat"),
         env_imp,
         distances.categorical_tvd,
         TrainConfig(batch_size=128, zeta_size=8, max_strategy_history_size=4,
@@ -210,13 +219,16 @@ def main():
     # MXU contractions, 7.9M params — ~13x the parity model's conv FLOPs):
     # the operating point where the 128x128 systolic array actually engages
     # (docs/RESULTS.md roofline: 16/32/32 fills 12.5% of the MXU lanes).
-    # conv_impl="fused" = the pallas VMEM-resident residual-pair kernel
-    # (ops/fused_resblock.py): 1.76x the patches lowering at these widths.
+    # conv_impl="fused_feat" (round 5) = the VMEM-resident residual-pair
+    # kernel PLUS the fused feature block (ops/fused_resblock.py): the
+    # feature block kills the feat conv's im2col patches tensor (the
+    # dense-path HBM wall) — measured 11.4k vs 9.8k (fused) vs 5.6k
+    # (patches) env-steps/s at this exact config (round5_session.jsonl).
     suite["impala_prod_bf16"] = bench_config(
         "impala_prod_bf16",
         ImpalaPolicy(env_imp.obs_shape, env_imp.n_actions,
                      compute_dtype=jnp.bfloat16, channels=(64, 128, 128),
-                     hidden=512, conv_impl="fused"),
+                     hidden=512, conv_impl="fused_feat"),
         env_imp,
         distances.categorical_tvd,
         TrainConfig(batch_size=64, zeta_size=8, max_strategy_history_size=4,
