@@ -183,9 +183,12 @@ def main():
     # [3] Atari CNN on the pixel grid (deepmind-style 0-1 frames); P=256 is the
     # measured sweet spot (183k/215k/190k steps/s at P=128/256/512).
     # compute_dtype=bf16 (round 5): bf16 GEMM operands with f32 accumulation
-    # halve the im2col HBM traffic — 288.8k vs 220.4k steps/s measured on the
-    # same config (docs/curves/round5_session.jsonl), same lever as the
-    # impala_prod_bf16 row.
+    # halve the im2col HBM traffic — 288.8k steps/s measured on this exact
+    # config (round5_session.jsonl 'cnn' bf16 row) vs the 220.9k the f32 row
+    # recorded in BENCH_r04 (+31%); same lever as impala_prod_bf16.  (The
+    # session's own f32 base reading, 74.5k, is an outlier — first variant
+    # after the IMPALA sweep in the same process; r4's driver-run 220.9k is
+    # the trustworthy f32 number for this config.)
     env_cnn = PixelGridEnv(grid=8, scale=8, max_steps=40, intensity=1.0)
     suite["cnn_pixelgrid"] = bench_config(
         "cnn_pixelgrid",

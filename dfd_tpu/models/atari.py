@@ -137,14 +137,8 @@ class AtariCNN(PolicyModel):
         x = self._bn2d(params, state, "bn2", x, train, new_state)
         x = jax.nn.relu(x)
         x = x.reshape(x.shape[0], -1)
-        if cd is not None:
-            # the fc GEMM is the widest contraction (256 x flat_features)
-            x = jnp.dot(
-                x.astype(cd), params["fc"]["w"].T.astype(cd),
-                preferred_element_type=jnp.float32,
-            ) + params["fc"]["b"]
-        else:
-            x = layers.linear(params["fc"], x)
+        # the fc GEMM is the widest contraction (256 x flat_features)
+        x = layers.linear(params["fc"], x, compute_dtype=cd)
         x = self._bn1d(params, state, "bn3", x, train, new_state)
         x = jax.nn.relu(x)
         return layers.linear(params["head"], x)

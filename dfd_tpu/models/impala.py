@@ -379,13 +379,7 @@ class ImpalaPolicy(PolicyModel):
         x = jax.nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = layers.batchnorm_eval(params["fc_bn"], state["fc_bn"], x)
-        if cd is not None:
-            x = jnp.dot(
-                x.astype(cd), params["fc"]["w"].T.astype(cd),
-                preferred_element_type=jnp.float32,
-            ) + params["fc"]["b"]
-        else:
-            x = layers.linear(params["fc"], x)
+        x = layers.linear(params["fc"], x, compute_dtype=cd)
         return jax.nn.relu(x)
 
     def _torso_nhwc(self, params, state, frames):
@@ -410,13 +404,7 @@ class ImpalaPolicy(PolicyModel):
         x = jax.nn.relu(x)
         x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
         x = layers.batchnorm_eval(params["fc_bn"], state["fc_bn"], x)
-        if cd is not None:
-            x = jnp.dot(
-                x.astype(cd), params["fc"]["w"].T.astype(cd),
-                preferred_element_type=jnp.float32,
-            ) + params["fc"]["b"]
-        else:
-            x = layers.linear(params["fc"], x)
+        x = layers.linear(params["fc"], x, compute_dtype=cd)
         return jax.nn.relu(x)
 
     def _head(self, params, state, core_output):

@@ -15,7 +15,14 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
 
 
-def linear(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+def linear(p: Dict[str, jnp.ndarray], x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """x @ w.T + b.  ``compute_dtype`` (e.g. bf16) casts the GEMM operands
+    only; accumulation and bias stay f32 (the MXU's native mixed mode)."""
+    if compute_dtype is not None:
+        return jnp.dot(
+            x.astype(compute_dtype), p["w"].T.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) + p["b"]
     return x @ p["w"].T + p["b"]
 
 

@@ -41,15 +41,30 @@ from dfd_tpu.utils.profiling import StageTimer
 THREAD_CROSSOVER_S = 0.15e-3
 
 
-def choose_backend(step_cost_s: float, cpu_count: Optional[int] = None) -> str:
+def choose_backend(step_cost_s: float, cpu_count: Optional[int] = None,
+                   parallel_speedup: Optional[float] = None) -> str:
     """Selection policy for ``backend='auto'``: thread-pool envs whose step
     is C-engine-heavy (>= the measured crossover) on multi-core hosts;
     serial otherwise (python dispatch dominates trivial steps, and a
-    1-core host has nothing to overlap)."""
+    1-core host has nothing to overlap).
+
+    Step cost alone cannot distinguish a heavy C engine from heavy
+    GIL-HELD python work (where the pool only adds overhead), so when the
+    caller supplies ``parallel_speedup`` — the measured 2-thread speedup
+    from :func:`probe_parallel_speedup`, a direct GIL-release test — the
+    pool is chosen only if threading actually paid (> 1.25x)."""
     cores = cpu_count if cpu_count is not None else (os.cpu_count() or 1)
     if cores <= 1:
         return "serial"
-    return "thread" if step_cost_s >= THREAD_CROSSOVER_S else "serial"
+    if step_cost_s < THREAD_CROSSOVER_S:
+        return "serial"
+    if parallel_speedup is not None and parallel_speedup < 1.25:
+        return "serial"  # GIL-bound step: threads serialize anyway
+    return "thread"
+
+
+def _probe_action(model):
+    return 0 if model.discrete else np.zeros(model.output_shape, np.float32)
 
 
 def probe_step_cost(env_id: str, seed: int, n_steps: int = 12) -> float:
@@ -57,7 +72,7 @@ def probe_step_cost(env_id: str, seed: int, n_steps: int = 12) -> float:
     Builds one throwaway env, resets, and steps a fixed do-nothing action;
     re-resets on episode end so every timing is a real step."""
     env, model, _ = get_init_data(env_id, seed)
-    action = 0 if model.discrete else np.zeros(model.output_shape, np.float32)
+    action = _probe_action(model)
     env.reset()
     costs = []
     for _ in range(n_steps):
@@ -69,6 +84,54 @@ def probe_step_cost(env_id: str, seed: int, n_steps: int = 12) -> float:
     if hasattr(env, "close"):
         env.close()
     return float(np.median(costs))
+
+
+def probe_parallel_speedup(env_id: str, seed: int, n_steps: int = 8) -> float:
+    """Measured 2-thread speedup of stepping two envs — the direct test of
+    whether this env family's ``step`` releases the GIL (MuJoCo/ALE/procgen
+    C cores do; pure-python or jit-dispatch-bound steps do not)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    envs = []
+    model = None
+    for i in range(2):
+        env, model, _ = get_init_data(env_id, seed + i)
+        env.reset()
+        envs.append(env)
+    action = _probe_action(model)
+
+    def run(env):
+        for _ in range(n_steps):
+            _, _, done, _ = env.step(action)
+            if done:
+                env.reset()
+
+    for e in envs:  # warm (jit caches, lazy engine init)
+        run(e)
+    t0 = time.perf_counter()
+    for e in envs:
+        run(e)
+    t_serial = time.perf_counter() - t0
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(run, envs))
+        t_par = time.perf_counter() - t0
+    for e in envs:
+        if hasattr(e, "close"):
+            e.close()
+    return t_serial / max(t_par, 1e-9)
+
+
+def resolve_backend(env_id: str, seed: int) -> str:
+    """The full ``auto`` decision for an env id: probe one step's cost,
+    and only if it clears the crossover, probe the 2-thread speedup."""
+    cost = probe_step_cost(env_id, seed)
+    speedup = (
+        probe_parallel_speedup(env_id, seed)
+        if cost >= THREAD_CROSSOVER_S and (os.cpu_count() or 1) > 1
+        else None
+    )
+    return choose_backend(cost, parallel_speedup=speedup)
 
 
 def default_vector_env(env_id: str, n_envs: int, seed: int, backend: str = "auto"):
@@ -95,7 +158,7 @@ def default_vector_env(env_id: str, n_envs: int, seed: int, backend: str = "auto
         return env
 
     if backend == "auto":
-        backend = choose_backend(probe_step_cost(env_id, seed))
+        backend = resolve_backend(env_id, seed)
     cls = ThreadPoolVectorEnv if backend == "thread" else PythonVectorEnv
     return cls(make, n_envs)
 
@@ -125,9 +188,18 @@ class FatClientRunner:
         self.address, self.port = address, port
         self.client = FDClient()
         if vector_env_factory is None:
-            vector_env_factory = lambda env_id, n, seed: default_vector_env(
-                env_id, n, seed, backend=env_backend
-            )
+            # the auto probe (env build + jit warm + timed steps) is
+            # per-env-id, not per-lane: resolve once, reuse for every lane
+            resolved: dict = {}
+
+            def vector_env_factory(env_id, n, seed):
+                backend = env_backend
+                if backend == "auto":
+                    backend = resolved.get(env_id)
+                    if backend is None:
+                        backend = resolved[env_id] = resolve_backend(env_id, seed)
+                return default_vector_env(env_id, n, seed, backend=backend)
+
         self._vector_env_factory = vector_env_factory
         self.evaluator: Optional[BatchedHostEvaluator] = None
         self.windows = 0

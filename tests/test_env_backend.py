@@ -31,6 +31,10 @@ def test_choose_backend_crossover_policy():
     assert choose_backend(THREAD_CROSSOVER_S, cpu_count=2) == "thread"
     # one core has nothing to overlap, regardless of step cost
     assert choose_backend(0.4e-3, cpu_count=1) == "serial"
+    # a heavy step that HOLDS the GIL (2-thread probe showed no speedup)
+    # must stay serial: the pool would only add dispatch overhead
+    assert choose_backend(0.4e-3, cpu_count=2, parallel_speedup=1.02) == "serial"
+    assert choose_backend(0.4e-3, cpu_count=2, parallel_speedup=1.7) == "thread"
 
 
 def test_default_vector_env_explicit_backends():
@@ -52,17 +56,45 @@ def test_default_vector_env_explicit_backends():
 
 
 def test_auto_backend_applies_probe(monkeypatch):
-    """auto = probe one step's cost, then the crossover policy."""
+    """auto = probe one step's cost, then (for heavy steps) the 2-thread
+    GIL-release probe, then the crossover policy."""
     monkeypatch.setattr(fat_client, "probe_step_cost", lambda env_id, seed: 0.5e-3)
+    monkeypatch.setattr(fat_client, "probe_parallel_speedup",
+                        lambda env_id, seed: 1.8)
     monkeypatch.setattr(fat_client.os, "cpu_count", lambda: 4)
     heavy = default_vector_env("CartPole-v1", 2, seed=0, backend="auto")
     assert isinstance(heavy, ThreadPoolVectorEnv)
     heavy.close()
 
+    # heavy but GIL-bound: threads measured no speedup -> serial
+    monkeypatch.setattr(fat_client, "probe_parallel_speedup",
+                        lambda env_id, seed: 1.0)
+    bound = default_vector_env("CartPole-v1", 2, seed=0, backend="auto")
+    assert type(bound) is PythonVectorEnv
+    bound.close()
+
     monkeypatch.setattr(fat_client, "probe_step_cost", lambda env_id, seed: 0.01e-3)
     light = default_vector_env("CartPole-v1", 2, seed=0, backend="auto")
     assert type(light) is PythonVectorEnv
     light.close()
+
+
+def test_auto_probe_resolved_once_across_lanes(monkeypatch):
+    """With pipeline lanes the default factory is called once per lane;
+    the (env build + jit warm + timed steps) auto probe must run ONCE."""
+    calls = []
+
+    def fake_resolve(env_id, seed):
+        calls.append(env_id)
+        return "serial"
+
+    monkeypatch.setattr(fat_client, "resolve_backend", fake_resolve)
+    runner = FatClientRunner(n_envs=4, pipeline_lanes=2, env_backend="auto")
+    for lane in range(2):
+        vec = runner._vector_env_factory("SimpleTrapEnv-v0", 2, lane * 2)
+        if hasattr(vec, "close"):
+            vec.close()
+    assert calls == ["SimpleTrapEnv-v0"]
 
 
 def test_probe_step_cost_measures_real_steps():

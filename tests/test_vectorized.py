@@ -352,9 +352,11 @@ def test_eval_panel_fixes_levels_on_procedural_envs():
                       episode_length=14, random_seed=0)
     tr = VectorizedTrainer(model, env, distances.categorical_tvd, cfg,
                            reporter=EpochReporter(quiet=True))
-    p1 = tr.eval_panel(8, panel_seed=7)
-    np.testing.assert_array_equal(p1, tr.eval_panel(8, panel_seed=7))
-    p3 = tr.eval_panel(8, panel_seed=8)
-    # shaped maze returns depend on the level's start/goal distance, so a
-    # different fixed draw shifts the per-episode returns
+    p1 = tr.eval_panel(16, panel_seed=7)
+    np.testing.assert_array_equal(p1, tr.eval_panel(16, panel_seed=7))
+    p3 = tr.eval_panel(16, panel_seed=8)
+    # shaped maze returns depend on each level's start/goal distance, so a
+    # different fixed 16-level draw shifts the per-episode return VECTOR.
+    # (Everything here is seeded — this comparison is deterministic across
+    # runs, pinned by the fixed env levels, init seed and panel seeds.)
     assert not np.array_equal(p1, p3)

@@ -32,9 +32,16 @@ def analyze(panel_path: str, band_path: str, final_w: int = 10) -> dict:
         band = json.load(f)
     thresh = band["threshold_3sigma"]
     rows = [json.loads(l) for l in open(panel_path) if l.strip()]
+    if not rows:
+        return {"panel_rows": 0, "threshold": thresh, "verdict": "no data"}
+    # crash-resume can replay epochs between the last checkpoint and the
+    # crash, appending duplicate rows: keep the LAST row per epoch (the one
+    # from the trajectory that continued) and sort by epoch
+    by_epoch = {r["epoch"]: r for r in rows}
+    rows = [by_epoch[e] for e in sorted(by_epoch)]
     epochs = np.array([r["epoch"] for r in rows])
     means = np.array([r["panel_mean"] for r in rows])
-    solved = np.array([r.get("panel_solved_frac", np.nan) for r in rows])
+    solved = np.array([float(r.get("panel_solved_frac", -1.0)) for r in rows])
 
     above = means > thresh
     runs = []
@@ -62,8 +69,10 @@ def analyze(panel_path: str, band_path: str, final_w: int = 10) -> dict:
         f"final_{final_w}_mean": round(float(means[-final_w:].mean()), 3),
         f"final_{final_w}_min": round(float(means[-final_w:].min()), 3),
         "best_mean": round(float(means.max()), 3),
-        "final_solved_frac": round(float(solved[-final_w:].mean()), 3),
     }
+    tail_solved = solved[-final_w:]
+    if (tail_solved >= 0).all():  # -1 marks rows without the field
+        out["final_solved_frac"] = round(float(tail_solved.mean()), 3)
     final_holds = bool(means[-final_w:].min() > thresh)
     out["verdict"] = (
         "HOLDS (final window entirely above threshold)" if final_holds

@@ -364,7 +364,10 @@ def main():
     log({"phase": "session_start", "phases": names,
          "backend": jax.default_backend(), "devices": len(jax.devices())})
     for name in names:
-        attempts = 2 if name == "longrun" else 1  # longrun resumes from ckpt
+        # no in-process retry: a TPU worker crash poisons the whole process
+        # (every later op raises UNAVAILABLE — verify-skill gotcha), so
+        # longrun recovery is the PROCESS-level wrapper + checkpoint resume
+        attempts = 1
         for a in range(attempts):
             t0 = time.time()
             log({"phase": name, "event": "start", "attempt": a})
