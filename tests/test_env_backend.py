@@ -110,3 +110,54 @@ def test_fat_client_default_factory_carries_backend():
     vec = runner._vector_env_factory("SimpleTrapEnv-v0", 2, 0)
     assert isinstance(vec, ThreadPoolVectorEnv)
     vec.close()
+
+
+class _FakeModel:
+    discrete = True
+    output_shape = 4
+
+
+class _SleepEnv:
+    """GIL-RELEASING stand-in: time.sleep drops the GIL like a C engine."""
+
+    def reset(self):
+        return np.zeros(2, np.float32)
+
+    def step(self, action):
+        import time
+        time.sleep(0.004)
+        return np.zeros(2, np.float32), 0.0, False, {}
+
+
+class _BusyEnv:
+    """GIL-HOLDING stand-in: pure-python work, threads serialize."""
+
+    def reset(self):
+        return np.zeros(2, np.float32)
+
+    def step(self, action):
+        x = 0
+        for i in range(40000):
+            x += i * i
+        return np.zeros(2, np.float32), 0.0, False, {}
+
+
+def test_parallel_speedup_probe_discriminates_gil(monkeypatch):
+    """The 2-thread probe must report a real speedup for GIL-releasing
+    steps and ~none for GIL-held python steps — the distinction the
+    round-5 review showed step cost alone cannot make."""
+    from dfd_tpu.runners.fat_client import probe_parallel_speedup
+
+    monkeypatch.setattr(
+        fat_client, "get_init_data",
+        lambda env_id, seed: (_SleepEnv(), _FakeModel(), None),
+    )
+    releasing = probe_parallel_speedup("fake", 0)
+    assert releasing > 1.4, releasing
+
+    monkeypatch.setattr(
+        fat_client, "get_init_data",
+        lambda env_id, seed: (_BusyEnv(), _FakeModel(), None),
+    )
+    holding = probe_parallel_speedup("fake", 0)
+    assert holding < 1.35, holding

@@ -360,3 +360,25 @@ def test_eval_panel_fixes_levels_on_procedural_envs():
     # (Everything here is seeded — this comparison is deterministic across
     # runs, pinned by the fixed env levels, init seed and panel seeds.)
     assert not np.array_equal(p1, p3)
+
+
+def test_eval_panel_identical_across_checkpoint_restore():
+    """The panel is a pure function of training state: a trainer restored
+    from a checkpoint must produce the identical panel vector (the property
+    the round-5 long runs rely on when comparing panels across crash
+    resumes)."""
+    import os
+    import tempfile
+
+    from dfd_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tr = _trainer(P=4)
+    tr.train(3)
+    p_orig = tr.eval_panel(6, panel_seed=11)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "c.npz")
+        save_checkpoint(path, tr)
+        tr2 = _trainer(P=4)
+        load_checkpoint(path, tr2)
+        p_restored = tr2.eval_panel(6, panel_seed=11)
+    np.testing.assert_array_equal(p_orig, p_restored)
